@@ -1,0 +1,34 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices.
+
+Must set env vars before jax is imported anywhere (SURVEY.md §4: multi-device
+tests emulate an 8-device mesh without a TPU).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu" via
+# jax.config at interpreter start, overriding the env var — override it back
+# BEFORE any backend initializes so tests run on the 8-device virtual CPU.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

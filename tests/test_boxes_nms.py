@@ -1,0 +1,164 @@
+"""Box ops + batched NMS parity vs torch oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+
+from yolopoint_tpu.ops import boxes as B
+from yolopoint_tpu.ops.nms import batched_box_nms
+
+
+def test_xywh_xyxy_roundtrip(rng):
+    b = rng.uniform(0, 100, (20, 4)).astype(np.float32)
+    out = np.asarray(B.xyxy2xywh(B.xywh2xyxy(jnp.asarray(b))))
+    np.testing.assert_allclose(out, b, atol=1e-4)
+
+
+def _np_box_iou(b1, b2):
+    """Pairwise IoU oracle (same math as torchvision.ops.box_iou)."""
+    a1 = (b1[:, 2] - b1[:, 0]) * (b1[:, 3] - b1[:, 1])
+    a2 = (b2[:, 2] - b2[:, 0]) * (b2[:, 3] - b2[:, 1])
+    lt = np.maximum(b1[:, None, :2], b2[None, :, :2])
+    rb = np.minimum(b1[:, None, 2:], b2[None, :, 2:])
+    inter = np.clip(rb - lt, 0, None).prod(-1)
+    return inter / (a1[:, None] + a2[None, :] - inter)
+
+
+def test_box_iou_matches_oracle(rng):
+    a = rng.uniform(0, 50, (10, 2)).astype(np.float32)
+    b1 = np.concatenate([a, a + rng.uniform(1, 30, (10, 2))], 1).astype(np.float32)
+    c = rng.uniform(0, 50, (7, 2)).astype(np.float32)
+    b2 = np.concatenate([c, c + rng.uniform(1, 30, (7, 2))], 1).astype(np.float32)
+    ref = _np_box_iou(b1, b2)
+    ours = np.asarray(B.box_iou(jnp.asarray(b1), jnp.asarray(b2)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def _torch_bbox_iou(box1, box2, CIoU=False, GIoU=False, DIoU=False, xywh=True):
+    """Oracle replicating /root/reference/src/utils/metrics_yolo.py:200-238."""
+    import math
+
+    eps = 1e-7
+    box1, box2 = torch.tensor(box1), torch.tensor(box2)
+    if xywh:
+        (x1, y1, w1, h1), (x2, y2, w2, h2) = box1.chunk(4, -1), box2.chunk(4, -1)
+        b1_x1, b1_x2, b1_y1, b1_y2 = x1 - w1 / 2, x1 + w1 / 2, y1 - h1 / 2, y1 + h1 / 2
+        b2_x1, b2_x2, b2_y1, b2_y2 = x2 - w2 / 2, x2 + w2 / 2, y2 - h2 / 2, y2 + h2 / 2
+    inter = (torch.min(b1_x2, b2_x2) - torch.max(b1_x1, b2_x1)).clamp(0) * (
+        torch.min(b1_y2, b2_y2) - torch.max(b1_y1, b2_y1)
+    ).clamp(0)
+    union = w1 * h1 + w2 * h2 - inter + eps
+    iou = inter / union
+    if CIoU or DIoU or GIoU:
+        cw = torch.max(b1_x2, b2_x2) - torch.min(b1_x1, b2_x1)
+        ch = torch.max(b1_y2, b2_y2) - torch.min(b1_y1, b2_y1)
+        if CIoU or DIoU:
+            c2 = cw**2 + ch**2 + eps
+            rho2 = ((b2_x1 + b2_x2 - b1_x1 - b1_x2) ** 2 + (b2_y1 + b2_y2 - b1_y1 - b1_y2) ** 2) / 4
+            if CIoU:
+                v = (4 / math.pi**2) * torch.pow(
+                    torch.atan(w2 / (h2 + eps)) - torch.atan(w1 / (h1 + eps)), 2
+                )
+                alpha = v / (v - iou + (1 + eps))
+                return iou - (rho2 / c2 + v * alpha)
+            return iou - rho2 / c2
+    return iou
+
+
+def test_bbox_ciou_matches_torch(rng):
+    b1 = rng.uniform(5, 50, (30, 4)).astype(np.float32)
+    b2 = (b1 + rng.normal(0, 3, (30, 4))).astype(np.float32)
+    ref = _torch_bbox_iou(b1, b2, CIoU=True).squeeze(-1).numpy()
+    ours = np.asarray(B.bbox_iou(jnp.asarray(b1), jnp.asarray(b2), CIoU=True))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def _make_predictions(rng, bs=2, n=400, nc=5):
+    """Fake decoded YOLO predictions (cx, cy, w, h, obj, cls...)."""
+    xy = rng.uniform(50, 400, (bs, n, 2))
+    wh = rng.uniform(10, 80, (bs, n, 2))
+    obj = rng.uniform(0, 1, (bs, n, 1))
+    cls = rng.dirichlet(np.ones(nc), (bs, n))
+    return np.concatenate([xy, wh, obj, cls], axis=-1).astype(np.float32)
+
+
+def _np_greedy_nms(boxes, scores, iou_thres):
+    """Serial greedy NMS oracle (same semantics as torchvision.ops.nms)."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        iou = _np_box_iou(boxes[i : i + 1], boxes)[0]
+        suppressed |= iou > iou_thres
+        suppressed[i] = True
+    return np.array(keep, int)
+
+
+def _reference_nms(pred, conf_thres, iou_thres, max_det=300):
+    """Oracle: /root/reference/src/utils/general_yolo.py:124-235 (best-class
+    path), with a numpy greedy NMS in place of torchvision.ops.nms."""
+    out = []
+    for x in torch.tensor(pred):
+        x = x[x[:, 4] > conf_thres]
+        if not x.shape[0]:
+            out.append(torch.zeros((0, 6)))
+            continue
+        x[:, 5:] *= x[:, 4:5]
+        box = torch.tensor(np.asarray(B.xywh2xyxy(jnp.asarray(x[:, :4].numpy()))))
+        conf, j = x[:, 5:].max(1, keepdim=True)
+        x = torch.cat((box, conf, j.float()), 1)[conf.view(-1) > conf_thres]
+        x = x[x[:, 4].argsort(descending=True)]
+        c = x[:, 5:6] * 7680
+        i = _np_greedy_nms((x[:, :4] + c).numpy(), x[:, 4].numpy(), iou_thres)
+        out.append(x[i[:max_det]])
+    return out
+
+
+def test_batched_nms_matches_torchvision(rng):
+    pred = _make_predictions(rng)
+    res = batched_box_nms(jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45, max_det=64)
+    ref = _reference_nms(pred, 0.25, 0.45, 64)
+    for b in range(pred.shape[0]):
+        v = np.asarray(res["valid"][b])
+        ours_boxes = np.asarray(res["boxes"][b])[v]
+        ours_scores = np.asarray(res["scores"][b])[v]
+        ours_cls = np.asarray(res["classes"][b])[v]
+        r = ref[b].numpy()
+        assert len(ours_boxes) == len(r), f"count {len(ours_boxes)} vs {len(r)}"
+        np.testing.assert_allclose(ours_scores, r[:, 4], atol=1e-5)
+        np.testing.assert_allclose(ours_boxes, r[:, :4], atol=1e-3)
+        np.testing.assert_array_equal(ours_cls, r[:, 5].astype(int))
+
+
+def test_nms_empty_input(rng):
+    pred = _make_predictions(rng)
+    pred[..., 4] = 0.0  # no candidates
+    res = batched_box_nms(jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45, max_det=16)
+    assert not np.asarray(res["valid"]).any()
+
+
+def test_mutual_nn_matches_numpy_oracle(rng):
+    from yolopoint_tpu.ops.matching import mutual_nearest_neighbor
+
+    D, N, M = 32, 40, 35
+    da = rng.normal(size=(N, D)).astype(np.float32)
+    db = rng.normal(size=(M, D)).astype(np.float32)
+    da /= np.linalg.norm(da, axis=1, keepdims=True)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+
+    # oracle: /root/reference/src/demo.py:300-341
+    dmat = np.sqrt(np.clip(2 - 2 * np.clip(da @ db.T, -1, 1), 0, None))
+    idx = np.argmin(dmat, axis=1)
+    scores = dmat[np.arange(N), idx]
+    keep = scores < 0.9
+    idx2 = np.argmin(dmat, axis=0)
+    keep_bi = np.arange(N) == idx2[idx]
+    keep = keep & keep_bi
+
+    res = mutual_nearest_neighbor(jnp.asarray(da), jnp.asarray(db), nn_thresh=0.9)
+    np.testing.assert_array_equal(np.asarray(res["valid"]), keep)
+    np.testing.assert_array_equal(np.asarray(res["indices"])[keep], idx[keep])
+    np.testing.assert_allclose(np.asarray(res["distance"])[keep], scores[keep], atol=1e-5)

@@ -1,0 +1,264 @@
+"""Homography point/image warping and valid-mask computation.
+
+TPU-native re-design of the reference geometry primitives
+(`/root/reference/src/utils/utils.py:274-485`): everything is batched,
+fixed-shape jnp, differentiable where it matters, and stays on device.
+Ragged point lists become `(N, 2)` arrays + boolean validity masks.
+
+Conventions
+-----------
+* Points are `(..., N, 2)` arrays in `(x, y)` order.
+* Homographies are `(..., 3, 3)` matrices mapping `(x, y, 1)` homogeneous
+  coordinates, like the reference (`warp_points`,
+  `/root/reference/src/utils/utils.py:274-290`).
+* "Normalized" coordinates are in `[-1, 1]` with `align_corners=True`
+  semantics: `x_pix = (x_norm + 1) / 2 * (W - 1)`.
+* Images are NHWC.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolopoint_tpu.ops.sampling import grid_sample
+
+
+def warp_points(points: jax.Array, homography: jax.Array) -> jax.Array:
+    """Apply (batched) homographies to a set of 2D points.
+
+    Args:
+      points: `(N, 2)` array of `(x, y)` points.
+      homography: `(3, 3)` or `(B, 3, 3)`.
+
+    Returns:
+      `(N, 2)` if a single homography was given, else `(B, N, 2)`.
+
+    Parity: `/root/reference/src/utils/utils.py:274-290` (torch `warp_points`).
+    """
+    single = homography.ndim == 2
+    H = jnp.atleast_3d(homography).reshape(-1, 3, 3)
+    pts_h = jnp.concatenate(
+        [points.astype(H.dtype), jnp.ones((points.shape[0], 1), H.dtype)], axis=-1
+    )  # (N, 3)
+    # full-f32 matmul: homogeneous divides amplify bf16 MXU error on TPU
+    warped = jnp.einsum("bij,nj->bni", H, pts_h, precision=jax.lax.Precision.HIGHEST)
+    warped = warped[..., :2] / warped[..., 2:3]
+    return warped[0] if single else warped
+
+
+def homography_scaling(homography: jax.Array, height, width) -> jax.Array:
+    """Conjugate a homography between normalized [-1, 1] and pixel coords.
+
+    Given H acting on normalized coords, returns T^-1 @ H @ T acting on pixel
+    coords, where T maps pixels -> normalized.
+
+    Parity: `/root/reference/src/utils/utils.py:292-295`.
+    """
+    dt = homography.dtype
+    trans = jnp.array(
+        [[2.0 / width, 0.0, -1.0], [0.0, 2.0 / height, -1.0], [0.0, 0.0, 1.0]], dtype=dt
+    )
+    trans_inv = jnp.linalg.inv(trans)
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(trans_inv, homography, precision=hi), trans, precision=hi)
+
+
+def _normalized_grid(height: int, width: int, dtype=jnp.float32) -> jax.Array:
+    """(H, W, 2) grid of normalized (x, y) output coords, align_corners=True."""
+    xs = jnp.linspace(-1.0, 1.0, width, dtype=dtype)
+    ys = jnp.linspace(-1.0, 1.0, height, dtype=dtype)
+    gx, gy = jnp.meshgrid(xs, ys)  # (H, W)
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def warp_image(
+    img: jax.Array,
+    homography_inv: jax.Array,
+    mode: str = "bilinear",
+) -> jax.Array:
+    """Inverse-warp a batch of images by homographies in normalized coords.
+
+    For each output pixel (in [-1,1]^2) applies `homography_inv` to find the
+    source location and samples with `align_corners=True`, zero padding —
+    matching the reference `warp_image_batch`
+    (`/root/reference/src/utils/utils.py:333-376`).
+
+    Args:
+      img: `(B, H, W, C)` image batch (NHWC).
+      homography_inv: `(B, 3, 3)` or `(3, 3)` homographies in normalized coords
+        (they map output/warped coords -> input coords).
+      mode: "bilinear" | "nearest".
+
+    Returns:
+      `(B, H, W, C)` warped images.
+    """
+    if img.ndim == 3:
+        img = img[None]
+    B, H, W, _ = img.shape
+    Hm = jnp.broadcast_to(jnp.atleast_3d(homography_inv).reshape(-1, 3, 3), (B, 3, 3))
+    grid = _normalized_grid(H, W, img.dtype).reshape(-1, 2)  # (H*W, 2)
+    src = jax.vmap(lambda h: warp_points(grid, h))(Hm)  # (B, H*W, 2)
+    # normalized -> pixel coords, align_corners=True
+    sx = (src[..., 0] + 1.0) * 0.5 * (W - 1)
+    sy = (src[..., 1] + 1.0) * 0.5 * (H - 1)
+    coords = jnp.stack([sx, sy], axis=-1).reshape(B, H, W, 2)
+    return grid_sample(img, coords, mode=mode)
+
+
+def binary_erosion(mask: jax.Array, kernel: np.ndarray) -> jax.Array:
+    """Erode a binary `(B, H, W)` mask with a static 0/1 structuring element.
+
+    Implemented as a conv equality test: a pixel survives iff every kernel
+    support pixel is 1. Replaces host-side `cv2.erode`
+    (`/root/reference/src/utils/utils.py:320-325`).
+    """
+    kh, kw = kernel.shape
+    k = jnp.asarray(kernel, jnp.float32).reshape(kh, kw, 1, 1)
+    # cv2.erode uses a +inf border for erosion (border pixels don't erode the
+    # interior): emulate by padding with ones before the VALID conv. The
+    # anchor is the kernel center (kh//2, kw//2) like cv2's default.
+    top, left = kh // 2, kw // 2
+    bottom, right = kh - 1 - top, kw - 1 - left
+    x = jnp.pad(
+        mask.astype(jnp.float32),
+        ((0, 0), (top, bottom), (left, right)),
+        constant_values=1.0,
+    )[..., None]
+    s = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return (s[..., 0] >= float(kernel.sum()) - 0.5).astype(mask.dtype)
+
+
+@functools.lru_cache(maxsize=16)
+def ellipse_kernel(radius: int) -> np.ndarray:
+    """cv2.getStructuringElement(MORPH_ELLIPSE, (2r, 2r)) equivalent, static.
+
+    Replicates OpenCV's scanline ellipse fill: per row i, dy = i - r,
+    dx = round(c * sqrt((r^2 - dy^2)/r^2)); fill [c-dx, c+dx] (clipped)."""
+    size = 2 * radius
+    r = size // 2
+    c = size // 2
+    kernel = np.zeros((size, size), np.uint8)
+    inv_r2 = 1.0 / (r * r) if r else 0.0
+    for i in range(size):
+        dy = i - r
+        if abs(dy) > r:
+            continue
+        dx = int(round(c * math.sqrt(max(0.0, (r * r - dy * dy) * inv_r2))))
+        j1 = max(c - dx, 0)
+        j2 = min(c + dx + 1, size)
+        kernel[i, j1:j2] = 1
+    return kernel
+
+
+def compute_valid_mask(
+    image_shape: tuple[int, int],
+    homography: jax.Array,
+    erosion_radius: int = 0,
+    pad: tuple[int, int, int, int] = (0, 0, 0, 0),
+) -> jax.Array:
+    """Mask of valid (non-border-artifact) pixels after a homography warp.
+
+    Warps an all-ones image (minus letterbox padding), nearest mode, then
+    zeroes a 1-px frame and optionally erodes with an ellipse kernel.
+
+    Args:
+      image_shape: (H, W) including letterbox pad.
+      homography: `(B, 3, 3)` or `(3, 3)` normalized-coords homography.
+      erosion_radius: ellipse erosion radius in px (0 = off).
+      pad: (top, bottom, left, right) letterbox padding to exclude.
+
+    Returns:
+      `(B, H, W)` float mask in {0, 1}.
+
+    Parity: `/root/reference/src/utils/utils.py:297-331`.
+    """
+    Hh, Ww = image_shape
+    Hm = jnp.atleast_3d(homography).reshape(-1, 3, 3)
+    B = Hm.shape[0]
+    top, bottom, left, right = pad
+    ones = jnp.zeros((B, Hh, Ww, 1), jnp.float32)
+    ones = ones.at[:, top:Hh - bottom, left:Ww - right, :].set(1.0)
+    mask = warp_image(ones, Hm, mode="nearest")[..., 0]
+    border = jnp.zeros((Hh, Ww), jnp.float32).at[1:-1, 1:-1].set(1.0)
+    mask = mask * border
+    if erosion_radius > 0:
+        mask = binary_erosion(mask, ellipse_kernel(erosion_radius))
+    return mask
+
+
+def filter_points_mask(points: jax.Array, shape_wh) -> jax.Array:
+    """Boolean mask of points inside `[0, W-1] x [0, H-1]`.
+
+    Fixed-shape replacement for the reference's ragged `filter_points`
+    (`/root/reference/src/utils/utils.py:264-272`).
+    """
+    wh = jnp.asarray(shape_wh, points.dtype)
+    inside = (points >= 0) & (points <= wh - 1)
+    return jnp.all(inside, axis=-1)
+
+
+def scatter_points(
+    points: jax.Array,
+    valid: jax.Array,
+    height: int,
+    width: int,
+    values=1.0,
+) -> jax.Array:
+    """Paint (rounded) points onto an `(H, W)` canvas; invalid points dropped.
+
+    Parity: `/root/reference/src/utils/utils.py:414-419` (`scatter_points`),
+    with ragged filtering replaced by the validity mask.
+    """
+    xy = jnp.round(points).astype(jnp.int32)
+    x = jnp.clip(xy[..., 0], 0, width - 1)
+    y = jnp.clip(xy[..., 1], 0, height - 1)
+    vals = jnp.broadcast_to(jnp.asarray(values, jnp.float32), valid.shape)
+    vals = jnp.where(valid, vals, 0.0)
+    canvas = jnp.zeros((height, width), jnp.float32)
+    # max instead of set: duplicate rounded points should still give 1.0
+    return canvas.at[y, x].max(vals)
+
+
+def points_to_label_map(points: jax.Array, valid: jax.Array, height: int, width: int) -> jax.Array:
+    """2D binary keypoint label map from `(N, 2)` points + validity mask.
+
+    Parity: `/root/reference/src/utils/utils.py:421-427` (`get_labels`), which
+    clamps rounded points into the image.
+    """
+    xy = jnp.round(points).astype(jnp.int32)
+    x = jnp.clip(xy[..., 0], 0, width - 1)
+    y = jnp.clip(xy[..., 1], 0, height - 1)
+    canvas = jnp.zeros((height, width), jnp.float32)
+    return canvas.at[y, x].max(valid.astype(jnp.float32))
+
+
+def warp_label_map(
+    points: jax.Array,
+    valid: jax.Array,
+    height: int,
+    width: int,
+    inv_homography: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Warp integer keypoints by a pixel-space homography and re-rasterize.
+
+    The reference (`warpLabels`, `/root/reference/src/utils/utils.py:429-441`)
+    floors points to long, warps with the *inverse* homography conjugated into
+    pixel coords, filters out-of-bounds and scatters to a canvas.
+
+    Returns:
+      (label_map (H, W), warped_points (N, 2), valid_out (N,)).
+    """
+    pts = jnp.floor(points.astype(jnp.float32))
+    Hpix = homography_scaling(inv_homography, height, width)
+    warped = warp_points(pts, Hpix)
+    valid_out = valid & filter_points_mask(warped, (width, height))
+    labels = scatter_points(warped, valid_out, height, width)
+    return labels, warped, valid_out

@@ -1,0 +1,95 @@
+"""Keypoint heatmap <-> 65-channel cell encoding (space-to-depth ops).
+
+TPU-native equivalents of the reference's `PixelShuffle`/`PixelUnshuffle`
+based label encode / heatmap decode
+(`labels2Dto3D` `/root/reference/src/utils/utils.py:184-209`,
+`flattenDetection` `/root/reference/src/utils/utils.py:232-262`,
+`getMasks` `/root/reference/src/utils/utils.py:103-116`).
+
+All maps are NHWC: label maps `(B, H, W)`, cell tensors `(B, Hc, Wc, 65)`.
+Pure reshape/transpose — XLA lowers these to layout changes and fuses the
+softmax into the surrounding graph.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def space_to_depth(x: jax.Array, cell: int) -> jax.Array:
+    """(B, H, W) -> (B, Hc, Wc, cell*cell), channel index = i*cell + j.
+
+    Matches torch `PixelUnshuffle(cell)` channel ordering for a 1-channel
+    input (c*r^2 + i*r + j with c=0).
+    """
+    B, H, W = x.shape
+    Hc, Wc = H // cell, W // cell
+    x = x.reshape(B, Hc, cell, Wc, cell)
+    x = x.transpose(0, 1, 3, 2, 4)  # (B, Hc, Wc, i, j)
+    return x.reshape(B, Hc, Wc, cell * cell)
+
+
+def depth_to_space(x: jax.Array, cell: int) -> jax.Array:
+    """(B, Hc, Wc, cell*cell) -> (B, H, W); inverse of `space_to_depth`."""
+    B, Hc, Wc, C = x.shape
+    x = x.reshape(B, Hc, Wc, cell, cell)
+    x = x.transpose(0, 1, 3, 2, 4)  # (B, Hc, i, Wc, j)
+    return x.reshape(B, Hc * cell, Wc * cell)
+
+
+def labels_to_cells(labels_2d: jax.Array, cell: int = 8, add_dustbin: bool = True) -> jax.Array:
+    """Encode a binary keypoint map into per-cell 65-channel soft targets.
+
+    Space-to-depth, then a dustbin channel that is 1 only for empty cells,
+    then per-cell normalization so channels sum to 1.
+
+    Args:
+      labels_2d: `(B, H, W)` binary keypoint map.
+
+    Returns:
+      `(B, Hc, Wc, 65)` if `add_dustbin` else `(B, Hc, Wc, 64)`.
+
+    Parity: `labels2Dto3D` `/root/reference/src/utils/utils.py:184-209`.
+    """
+    cells = space_to_depth(labels_2d, cell)  # (B, Hc, Wc, 64)
+    if not add_dustbin:
+        return cells
+    filled = cells.sum(axis=-1, keepdims=True)
+    dustbin = jnp.where(1.0 - filled < 1.0, 0.0, 1.0 - filled)
+    cells = jnp.concatenate([cells, dustbin], axis=-1)
+    return cells / cells.sum(axis=-1, keepdims=True)
+
+
+def cells_to_heatmap(semi: jax.Array, cell: int = 8) -> jax.Array:
+    """Decode raw 65-channel logits to a full-resolution probability heatmap.
+
+    Channel softmax -> drop dustbin -> depth-to-space.
+
+    Args:
+      semi: `(B, Hc, Wc, 65)` raw detector-head logits (NHWC).
+
+    Returns:
+      `(B, H, W)` heatmap.
+
+    Parity: `flattenDetection` `/root/reference/src/utils/utils.py:232-262`.
+    """
+    dense = jax.nn.softmax(semi, axis=-1)
+    nodust = dense[..., :-1]
+    return depth_to_space(nodust, cell)
+
+
+def cell_valid_mask(mask_2d: jax.Array, cell: int = 8) -> jax.Array:
+    """Downscale a full-res valid mask to cells: valid iff ALL pixels valid.
+
+    Args:
+      mask_2d: `(B, H, W)` mask in {0, 1}.
+
+    Returns:
+      `(B, Hc, Wc)` mask (product over each cell).
+
+    Parity: `getMasks` `/root/reference/src/utils/utils.py:103-116` (prod over
+    the unshuffled channel dim).
+    """
+    cells = space_to_depth(mask_2d, cell)
+    return jnp.prod(cells, axis=-1)

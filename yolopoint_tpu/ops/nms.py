@@ -1,0 +1,117 @@
+"""Fixed-shape, device-resident box NMS.
+
+Replaces the reference's `non_max_suppression`
+(`/root/reference/src/utils/general_yolo.py:124-235`), whose core is the
+native `torchvision.ops.nms` C++/CUDA kernel plus ragged per-image python
+lists. Here the whole pipeline — confidence gating, class-offset trick,
+greedy IoU suppression, max_det capping — is one jittable function over
+padded `(B, N, 5+nc)` predictions returning `(B, max_det, 6)` + validity
+masks. Greedy suppression is a `fori_loop` over a precomputed IoU matrix
+(O(K^2) elementwise work on the VPU, K = top-k candidate cap).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from yolopoint_tpu.ops.boxes import box_iou, xywh2xyxy
+
+MAX_WH = 7680.0  # class-offset magnitude, reference general_yolo.py:152
+
+
+def _greedy_nms_keep(boxes: jax.Array, valid: jax.Array, iou_thres: float) -> jax.Array:
+    """Greedy suppression over score-sorted boxes. Returns keep mask (N,)."""
+    n = boxes.shape[0]
+    iou = box_iou(boxes, boxes)
+    idx = jnp.arange(n)
+    later = idx[None, :] > idx[:, None]  # strictly lower-priority boxes
+
+    def body(i, keep):
+        sup = (iou[i] > iou_thres) & later[i] & keep[i]
+        return keep & ~sup
+
+    return jax.lax.fori_loop(0, n, body, valid)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "agnostic", "multi_label"),
+)
+def batched_box_nms(
+    prediction: jax.Array,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    max_nms: int = 1024,
+    agnostic: bool = False,
+    multi_label: bool = False,
+) -> dict[str, jax.Array]:
+    """Batched class-aware NMS on decoded YOLO predictions.
+
+    Args:
+      prediction: `(B, N, 5+nc)` decoded predictions `[cx, cy, w, h, obj,
+        cls...]` (the concatenated inference output of the Detect head).
+      conf_thres: objectness/score gate.
+      iou_thres: suppression IoU.
+      max_det: fixed number of detections returned per image.
+      max_nms: candidate cap fed to greedy suppression (reference: 30000; we
+        top-k to a TPU-friendly fixed K — beyond-cap candidates are the
+        lowest-score ones and virtually never survive anyway).
+      agnostic: class-agnostic NMS (no class offset).
+      multi_label: emit one candidate per (box, class) over the gate instead
+        of argmax class only.
+
+    Returns:
+      dict with `boxes` `(B, max_det, 4)` xyxy, `scores` `(B, max_det)`,
+      `classes` `(B, max_det)` int32, `valid` `(B, max_det)` bool.
+
+    Parity: `/root/reference/src/utils/general_yolo.py:124-235` (same
+    suppression order and class-offset trick; fixed-shape outputs).
+    """
+    nc = prediction.shape[-1] - 5
+
+    def per_image(x):
+        obj = x[:, 4]
+        cls_conf = x[:, 5:] * obj[:, None]  # conf = obj * cls
+        box = xywh2xyxy(x[:, :4])
+        if multi_label and nc > 1:
+            # (N, nc) candidates -> flatten; gate each (box, class) pair
+            scores_mat = jnp.where(obj[:, None] > conf_thres, cls_conf, 0.0)
+            scores = scores_mat.reshape(-1)
+            boxes_f = jnp.repeat(box, nc, axis=0)
+            classes = jnp.tile(jnp.arange(nc), x.shape[0])
+            cand = scores > conf_thres
+        else:
+            scores = cls_conf.max(axis=-1)
+            classes = cls_conf.argmax(axis=-1)
+            boxes_f = box
+            cand = (obj > conf_thres) & (scores > conf_thres)
+
+        gated = jnp.where(cand, scores, -1.0)
+        k = min(max_nms, gated.shape[0])
+        top_scores, top_idx = jax.lax.top_k(gated, k)
+        top_boxes = boxes_f[top_idx]
+        top_classes = classes[top_idx]
+        top_valid = top_scores > 0.0
+
+        offset = 0.0 if agnostic else top_classes.astype(top_boxes.dtype)[:, None] * MAX_WH
+        keep = _greedy_nms_keep(top_boxes + offset, top_valid, iou_thres)
+
+        kept_scores = jnp.where(keep, top_scores, -1.0)
+        k_out = min(max_det, kept_scores.shape[0])
+        out_scores, out_idx = jax.lax.top_k(kept_scores, k_out)
+        pad = max_det - k_out
+        if pad:
+            out_scores = jnp.pad(out_scores, (0, pad), constant_values=-1.0)
+            out_idx = jnp.pad(out_idx, (0, pad))
+        return {
+            "boxes": top_boxes[out_idx],
+            "scores": jnp.maximum(out_scores, 0.0),
+            "classes": top_classes[out_idx].astype(jnp.int32),
+            "valid": out_scores > 0.0,
+        }
+
+    return jax.vmap(per_image)(prediction)
