@@ -1,0 +1,33 @@
+"""Flax model zoo: YOLOPoint N/S/M/L/X + variants.
+
+Re-designed from `/root/reference/src/models/` (YOLOPoint.py, common.py,
+yolo.py) as idiomatic Flax/NHWC modules. Submodule names intentionally mirror
+the reference's attribute names so torch checkpoints map 1:1 through
+`yolopoint_tpu.models.convert`.
+"""
+
+from yolopoint_tpu.models.blocks import (
+    ConvBnAct,
+    Bottleneck,
+    BottleneckV8,
+    BottleneckCSP,
+    C3,
+    C2f,
+    SPP,
+    SPPF,
+    Focus,
+    GhostConv,
+    GhostBottleneck,
+    DWConv,
+    make_divisible,
+)
+from yolopoint_tpu.models.detect import Detect, ANCHORS_DEFAULT
+from yolopoint_tpu.models.yolopoint import (
+    YOLOPoint,
+    YOLOPointv52,
+    YOLOPointDet,
+    SuperPointNet,
+    YOLOv8Point,
+    build_model,
+    VERSION_MULTIPLIERS,
+)
