@@ -1,0 +1,115 @@
+// Native host-side image preprocessing for the yolopoint_tpu data loader.
+//
+// The reference delegates its hot host-side pixel work to OpenCV C++
+// (cv2.resize INTER_LINEAR/INTER_AREA, copyMakeBorder letterbox padding —
+// /root/reference/src/utils/augmentations_yolo.py:26-56,
+// /root/reference/src/datasets/DataClasses.py:505-526). This library provides
+// the same primitives as a dependency-free C++ core so the loader does not
+// need OpenCV on the serving host: bilinear + area resampling, letterbox
+// composition, uint8 -> float32 NHWC normalization. Exposed as a C ABI for
+// ctypes (pybind11 is not available in this image).
+//
+// Build: make -C native   (produces libyp_preprocess.so)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+extern "C" {
+
+// Bilinear resize, uint8 HWC -> uint8 HWC (cv2.INTER_LINEAR semantics:
+// half-pixel centers, clamped edges).
+void yp_resize_bilinear_u8(const uint8_t* src, int sh, int sw, int c,
+                           uint8_t* dst, int dh, int dw) {
+  const float sy = static_cast<float>(sh) / dh;
+  const float sx = static_cast<float>(sw) / dw;
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = static_cast<int>(std::floor(fy));
+    float wy = fy - y0;
+    int y1 = std::min(y0 + 1, sh - 1);
+    y0 = std::max(y0, 0);
+    for (int x = 0; x < dw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = static_cast<int>(std::floor(fx));
+      float wx = fx - x0;
+      int x1 = std::min(x0 + 1, sw - 1);
+      x0 = std::max(x0, 0);
+      const uint8_t* p00 = src + (y0 * sw + x0) * c;
+      const uint8_t* p01 = src + (y0 * sw + x1) * c;
+      const uint8_t* p10 = src + (y1 * sw + x0) * c;
+      const uint8_t* p11 = src + (y1 * sw + x1) * c;
+      uint8_t* out = dst + (y * dw + x) * c;
+      for (int k = 0; k < c; ++k) {
+        float top = p00[k] * (1 - wx) + p01[k] * wx;
+        float bot = p10[k] * (1 - wx) + p11[k] * wx;
+        float v = top * (1 - wy) + bot * wy;
+        out[k] = static_cast<uint8_t>(std::lround(std::clamp(v, 0.f, 255.f)));
+      }
+    }
+  }
+}
+
+// Area (box-filter) resize for downscaling, cv2.INTER_AREA-style.
+void yp_resize_area_u8(const uint8_t* src, int sh, int sw, int c,
+                       uint8_t* dst, int dh, int dw) {
+  const double sy = static_cast<double>(sh) / dh;
+  const double sx = static_cast<double>(sw) / dw;
+  for (int y = 0; y < dh; ++y) {
+    double fy0 = y * sy, fy1 = (y + 1) * sy;
+    int iy0 = static_cast<int>(fy0), iy1 = std::min(static_cast<int>(std::ceil(fy1)), sh);
+    for (int x = 0; x < dw; ++x) {
+      double fx0 = x * sx, fx1 = (x + 1) * sx;
+      int ix0 = static_cast<int>(fx0), ix1 = std::min(static_cast<int>(std::ceil(fx1)), sw);
+      for (int k = 0; k < c; ++k) {
+        double acc = 0.0, area = 0.0;
+        for (int yy = iy0; yy < iy1; ++yy) {
+          double hy = std::min<double>(yy + 1, fy1) - std::max<double>(yy, fy0);
+          for (int xx = ix0; xx < ix1; ++xx) {
+            double wx2 = std::min<double>(xx + 1, fx1) - std::max<double>(xx, fx0);
+            acc += src[(yy * sw + xx) * c + k] * hy * wx2;
+            area += hy * wx2;
+          }
+        }
+        dst[(y * dw + x) * c + k] =
+            static_cast<uint8_t>(std::lround(acc / std::max(area, 1e-9)));
+      }
+    }
+  }
+}
+
+// Letterbox: aspect-preserving resize into (dh, dw) with `pad_value` borders.
+// Writes the resized image centered; returns pad offsets through out params.
+void yp_letterbox_u8(const uint8_t* src, int sh, int sw, int c,
+                     uint8_t* dst, int dh, int dw, uint8_t pad_value,
+                     int* top, int* left, float* ratio) {
+  float r = std::min(static_cast<float>(dh) / sh, static_cast<float>(dw) / sw);
+  int nh = static_cast<int>(std::lround(sh * r));
+  int nw = static_cast<int>(std::lround(sw * r));
+  std::vector<uint8_t> tmp(static_cast<size_t>(nh) * nw * c);
+  if (r < 1.0f) {
+    yp_resize_area_u8(src, sh, sw, c, tmp.data(), nh, nw);
+  } else {
+    yp_resize_bilinear_u8(src, sh, sw, c, tmp.data(), nh, nw);
+  }
+  std::memset(dst, pad_value, static_cast<size_t>(dh) * dw * c);
+  int t = (dh - nh) / 2;
+  int l = (dw - nw) / 2;
+  for (int y = 0; y < nh; ++y) {
+    std::memcpy(dst + ((t + y) * dw + l) * c, tmp.data() + y * nw * c,
+                static_cast<size_t>(nw) * c);
+  }
+  *top = t;
+  *left = l;
+  *ratio = r;
+}
+
+// uint8 HWC -> float32 HWC in [0, 1] (the upload format of the pipeline).
+void yp_u8_to_f32(const uint8_t* src, float* dst, int64_t n) {
+  constexpr float kInv = 1.0f / 255.0f;
+  for (int64_t i = 0; i < n; ++i) dst[i] = src[i] * kInv;
+}
+
+}  // extern "C"

@@ -1,0 +1,122 @@
+"""Batching loader: weighted multi-dataset sampling + fixed-shape collate +
+background prefetch.
+
+Re-design of `/root/reference/src/utils/loader.py:25-178`:
+* `WeightedRandomSampler` with length-normalized weights over concatenated
+  datasets (`get_weights` `:60-71`) -> numpy choice with the same weights.
+* the ragged `custom_collate_fn` (`:40-58`) -> PADDED `(B, max_points, 2)` /
+  `(B, max_boxes, 5)` arrays + boolean masks (fixed shapes for jit).
+* torch DataLoader worker processes -> a double-buffered background thread
+  (decoding is cheap since augmentation moved on-device); the C++ decode
+  path can slot in underneath later without API changes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def length_normalized_weights(sizes: Sequence[int]) -> np.ndarray:
+    """Per-sample weights so each dataset contributes equally per epoch
+    (reference `get_weights`, `loader.py:60-71`)."""
+    weights = np.concatenate([np.full(n, 1.0 / n) for n in sizes])
+    return weights / weights.sum()
+
+
+def pad_collate(
+    samples: Sequence[dict[str, Any]],
+    max_points: int = 1024,
+    max_boxes: int = 128,
+) -> dict[str, np.ndarray]:
+    """Stack samples into fixed-shape arrays + masks."""
+    B = len(samples)
+    H, W, C = samples[0]["image"].shape
+    batch = {
+        "image": np.zeros((B, H, W, C), np.float32),
+        "points": np.zeros((B, max_points, 2), np.float32),
+        "point_mask": np.zeros((B, max_points), bool),
+        "boxes": np.zeros((B, max_boxes, 5), np.float32),
+        "box_mask": np.zeros((B, max_boxes), bool),
+    }
+    names = []
+    for i, s in enumerate(samples):
+        batch["image"][i] = s["image"]
+        pts = np.asarray(s.get("points", np.zeros((0, 2))))[:max_points]
+        batch["points"][i, : len(pts)] = pts[:, :2]
+        batch["point_mask"][i, : len(pts)] = True
+        boxes = np.asarray(s.get("boxes", np.zeros((0, 5))))[:max_boxes]
+        batch["boxes"][i, : len(boxes)] = boxes
+        batch["box_mask"][i, : len(boxes)] = True
+        names.append(s.get("name", str(i)))
+    batch["names"] = names
+    return batch
+
+
+class DataLoader:
+    """Multi-dataset weighted-sampling loader with thread prefetch."""
+
+    def __init__(
+        self,
+        datasets: Sequence[Any],
+        batch_size: int,
+        shuffle: bool = True,
+        max_points: int = 1024,
+        max_boxes: int = 128,
+        seed: int = 0,
+        prefetch: int = 2,
+        steps_per_epoch: Optional[int] = None,
+    ):
+        self.datasets = list(datasets)
+        self.sizes = [len(d) for d in self.datasets]
+        self.total = sum(self.sizes)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.max_points = max_points
+        self.max_boxes = max_boxes
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+        self.steps_per_epoch = steps_per_epoch or max(self.total // batch_size, 1)
+        self.weights = length_normalized_weights(self.sizes) if len(self.datasets) > 1 else None
+        self._offsets = np.cumsum([0] + self.sizes)
+
+    def __len__(self) -> int:
+        return self.steps_per_epoch
+
+    def _fetch(self, global_idx: int) -> dict[str, Any]:
+        d = int(np.searchsorted(self._offsets, global_idx, side="right") - 1)
+        return self.datasets[d].get(global_idx - self._offsets[d])
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = self.steps_per_epoch * self.batch_size
+        if self.shuffle:
+            if self.weights is not None:
+                return self.rng.choice(self.total, size=n, replace=True, p=self.weights)
+            return self.rng.permutation(self.total)[:n] if n <= self.total else \
+                self.rng.choice(self.total, size=n, replace=True)
+        return np.arange(n) % self.total
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        idxs = self._epoch_indices()
+        batches = idxs[: self.steps_per_epoch * self.batch_size].reshape(-1, self.batch_size)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for row in batches:
+                    samples = [self._fetch(int(i)) for i in row]
+                    q.put(pad_collate(samples, self.max_points, self.max_boxes))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

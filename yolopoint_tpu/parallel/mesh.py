@@ -1,0 +1,44 @@
+"""Mesh construction + sharding helpers for data-parallel training.
+
+The model family is ≤ ~100M params (SURVEY.md §2.8): data parallelism over
+the `data` mesh axis is the production strategy — parameters replicated,
+activations sharded on batch. TP/PP are intentionally absent (as in the
+reference); spatial (H/W) sharding is the long-context analog and can be
+added as an extra mesh axis without touching the step function.
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh()`; the
+mesh then spans all processes and `psum` gradients ride ICI/DCN
+automatically (replaces the reference's Accelerate/NCCL stack,
+`/root/reference/src/train.py:26-47`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over all (or given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def data_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Batch-dim sharding (leading axis split across the mesh)."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
+    """Device-put a host batch pytree with the batch dim sharded."""
+    sh = data_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,342 @@
+"""TrainAgent: end-to-end training orchestration.
+
+Functional re-design of the reference `TrainAgent`
+(`/root/reference/src/train.py:32-568`): the python layer only feeds batches,
+logs, validates and checkpoints — the whole optimization step is the jitted
+`make_train_step` program. Validation mirrors the reference `_validate`
+(`:309-568`): val losses, box NMS + mAP stack, point precision/recall, and
+extended per-image evaluation (repeatability + homography correctness on up
+to `extended_val_sample_size` images), blended into the model-selection
+fitness `0.3*(0.55*rep + 0.45*homo) + 0.7*yolo_fitness` (`:551-560`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolopoint_tpu.data.augmentation import build_training_views
+from yolopoint_tpu.evaluation.descriptor_eval import compute_homography_correctness
+from yolopoint_tpu.evaluation.detector_eval import batch_precision_recall, compute_repeatability
+from yolopoint_tpu.evaluation.yolo_eval import (
+    ap_per_class,
+    combined_fitness,
+    fitness_yolo,
+    process_batch,
+)
+from yolopoint_tpu.losses.objects import ObjectLossConfig
+from yolopoint_tpu.models import build_model
+from yolopoint_tpu.models.detect import Detect
+from yolopoint_tpu.ops.boxes import xywhn2xyxy
+from yolopoint_tpu.ops.heatmap import cells_to_heatmap
+from yolopoint_tpu.ops.keypoints import extract_keypoints
+from yolopoint_tpu.ops.nms import batched_box_nms
+from yolopoint_tpu.ops.sampling import sample_descriptors
+from yolopoint_tpu.parallel.mesh import make_mesh, shard_batch
+from yolopoint_tpu.training.checkpoint import CheckpointManager
+from yolopoint_tpu.training.state import create_train_state, make_optimizer, shrink_perturb
+from yolopoint_tpu.training.step import (
+    LossWeights,
+    make_train_step,
+    rescale_yolo_gains,
+)
+from yolopoint_tpu.utils.config import get as cfg_get
+from yolopoint_tpu.utils.logging import LOGGER, MetricsWriter, StepTimer
+
+
+class TrainAgent:
+    """Drives training from a reference-schema YAML config dict."""
+
+    def __init__(
+        self,
+        config: Mapping[str, Any],
+        output_dir: str | Path,
+        train_loader,
+        val_loader=None,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.config = dict(config)
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.mesh = mesh or make_mesh()
+        self.rng = jax.random.PRNGKey(seed)
+
+        self.names = list(config.get("names", []))
+        self.nc = max(len(self.names), 1)
+        model_cfg = config.get("model", {})
+        self.model_name = model_cfg.get("name", "YOLOPoint")
+        self.version = model_cfg.get("version", "s")
+        self.model = build_model(self.model_name, self.version, nc=self.nc)
+
+        tp = config.get("training_params", {})
+        epochs = int(tp.get("epochs", 100))
+        batch_size = int(tp.get("train_batch_size", 8))
+        # nominal batch 64 via grad accumulation (reference train.py:38-43)
+        n_dev = len(self.mesh.devices.flatten())
+        accum = max(round(64 / (batch_size * max(n_dev, 1))), 1)
+        steps_per_epoch = len(train_loader)
+        tx = make_optimizer(
+            learning_rate=float(tp.get("learning_rate", 1e-3)),
+            lrf=float(tp.get("lrf", 0.1)),
+            total_epochs=epochs,
+            steps_per_epoch=steps_per_epoch * accum,
+            grad_clip=float(tp["gradclip"]) if tp.get("gradclip") else None,
+            accumulate_steps=accum,
+        )
+        self.epochs = epochs
+        self.accum = accum
+
+        img_size = int(cfg_get(config, "data.preprocessing.img_size", 640))
+        sp = cfg_get(config, "model.superpoint", {}) or {}
+        yolo = cfg_get(config, "model.yolo", {}) or {}
+        obj_cfg = ObjectLossConfig(
+            box=float(yolo.get("box", 0.05)),
+            obj=float(yolo.get("obj", 1.0)),
+            cls=float(yolo.get("cls", 0.5)),
+            cls_pw=float(yolo.get("cls_pw", 1.0)),
+            obj_pw=float(yolo.get("obj_pw", 1.0)),
+            anchor_t=float(yolo.get("anchor_t", 4.0)),
+            label_smoothing=float(yolo.get("label_smoothing", 0.0)),
+            fl_gamma=float(yolo.get("fl_gamma", 0.0)),
+        )
+        self.obj_cfg = rescale_yolo_gains(obj_cfg, self.nc, img_size)
+        sparse = sp.get("sparse_loss", {}).get("params", {})
+        self.weights = LossWeights(
+            lambda_desc=float(cfg_get(config, "model.lambda_loss", 0.1)),
+            lambda_obj=float(cfg_get(config, "model.lambda_loss_obj", 10.0)),
+            joint_training=bool(config.get("joint_training", True)),
+            num_samples_per_image=int(sparse.get("num_samples_per_image", 1000)),
+            num_masked_non_matches_per_match=int(
+                sparse.get("num_masked_non_matches_per_match", 120)
+            ),
+        )
+        self.kpt_conf = float(sp.get("detection_threshold", 0.015))
+        self.kpt_nms = int(sp.get("nms", 4))
+        self.kpt_topk = int(sp.get("top_k", 1000))
+        self.box_conf = float(yolo.get("conf_thresh", 0.001))
+        self.box_iou = float(yolo.get("iou_thresh", 0.6))
+        self.extended_val_n = int(config.get("extended_val_sample_size", 10))
+
+        H = W = img_size
+        sample = next(iter(train_loader))
+        H, W = sample["image"].shape[1:3]
+        self._sample_shape = (1, H, W, sample["image"].shape[3])
+        self.state = create_train_state(self.model, self.rng, self._sample_shape, tx=tx)
+
+        aug_config = cfg_get(config, "data.augmentation", {}) or {}
+        self.train_step = make_train_step(
+            self.model, self.mesh, aug_config, self.obj_cfg, self.weights, self.nc
+        )
+        self._aug_config = aug_config
+        self._eval_fn = jax.jit(self._eval_batch)
+
+        self.ckpt = CheckpointManager(self.output_dir)
+        self.metrics = MetricsWriter(self.output_dir)
+        self.timer = StepTimer()
+        self.best_fitness = -1.0
+        self.global_step = 0
+        self.start_epoch = 0
+
+        # warm start / resume hooks
+        if wp := config.get("pretrained"):
+            self._load_pretrained(wp)
+        if config.get("resume"):
+            restored, meta = self.ckpt.restore(self.state)
+            if restored is not None:
+                self.state = restored
+                self.start_epoch = int(meta.get("epoch", 0)) + 1
+                self.best_fitness = float(meta.get("best_fitness", -1.0))
+                self.global_step = int(meta.get("global_step", self.state.step))
+                LOGGER.info(f"resumed from epoch {self.start_epoch}")
+
+    def _load_pretrained(self, path: str) -> None:
+        """Load torch or orbax weights; shrink-perturb if configured
+        (reference train.py:109-115, 598-604)."""
+        from yolopoint_tpu.models.convert import load_torch_checkpoint
+
+        p = Path(path)
+        if p.suffix in (".tar", ".pth", ".pt"):
+            loaded = load_torch_checkpoint(str(p))
+            variables = loaded["variables"]
+            self.state = self.state.replace(
+                params=variables["params"], batch_stats=variables["batch_stats"]
+            )
+            LOGGER.info(f"loaded torch weights from {p}")
+        if sp := self.config.get("shrink_perturb"):
+            self.rng, k = jax.random.split(self.rng)
+            self.state = self.state.replace(
+                params=shrink_perturb(
+                    self.state.params, k,
+                    lam=float(sp.get("lam", 0.5)), sigma=float(sp.get("sigma", 0.01)),
+                )
+            )
+            LOGGER.info("applied shrink-perturb warm start")
+
+    # ---------------- training ----------------
+
+    def train(self) -> None:
+        for epoch in range(self.start_epoch, self.epochs):
+            for batch in self.train_loader:
+                batch.pop("names", None)
+                batch = shard_batch(batch, self.mesh)
+                self.rng, k = jax.random.split(self.rng)
+                self.state, aux = self.train_step(self.state, batch, k)
+                self.global_step += 1
+                dt = self.timer.tick()
+                if self.global_step % 50 == 0:
+                    scalars = {k_: float(v) for k_, v in aux.items()}
+                    scalars["step_time"] = self.timer.mean
+                    self.metrics.write(self.global_step, scalars, prefix="training/")
+                    LOGGER.info(
+                        f"e{epoch} s{self.global_step} loss={scalars['loss']:.4f} "
+                        f"({self.timer.mean*1e3:.0f} ms/step)"
+                    )
+            val_scalars = self.validate(epoch) if self.val_loader is not None else {}
+            fitness = val_scalars.get("fitness", -1.0)
+            best = fitness > self.best_fitness
+            if best:
+                self.best_fitness = fitness
+            self.ckpt.save(
+                epoch, self.state,
+                metadata={
+                    "epoch": epoch, "global_step": self.global_step,
+                    "best_fitness": self.best_fitness, "names": self.names,
+                    "version": self.version, "model_name": self.model_name,
+                    "config": self.config,
+                },
+                fitness=fitness, best=best,
+            )
+
+    # ---------------- validation ----------------
+
+    def _eval_batch(self, params, batch_stats, images):
+        out = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=False, decode=True,
+        )
+        heat = cells_to_heatmap(out["semi"].astype(jnp.float32))
+        pts, scores, valid = extract_keypoints(
+            heat, self.kpt_conf, self.kpt_nms, self.kpt_topk
+        )
+        desc = sample_descriptors(out["desc"].astype(jnp.float32), pts)
+        det = batched_box_nms(
+            out["objects"][0].astype(jnp.float32),
+            conf_thres=self.box_conf, iou_thres=self.box_iou, max_det=300,
+        )
+        return {
+            "heatmap": heat, "pts": pts, "scores": scores, "valid": valid,
+            "desc": desc, "det": det,
+        }
+
+    def validate(self, epoch: int) -> dict[str, float]:
+        iouv = np.linspace(0.5, 0.95, 10)
+        stats = []
+        precs, recs = [], []
+        reps, homos, matching = [], [], []
+        n_extended = 0
+
+        for batch in self.val_loader:
+            batch.pop("names", None)
+            images = jnp.asarray(batch["image"])
+            ev = self._eval_fn(self.state.params, self.state.batch_stats, images)
+            ev = jax.tree_util.tree_map(np.asarray, ev)
+            B, H, W = ev["heatmap"].shape
+
+            # build warped pair for extended metrics on the first images
+            self.rng, k = jax.random.split(self.rng)
+            base, warped = build_training_views(
+                k, images, jnp.asarray(batch["points"]), jnp.asarray(batch["point_mask"]),
+                jnp.asarray(batch["boxes"]), jnp.asarray(batch["box_mask"]),
+                self._aug_config,
+            )
+            evw = self._eval_fn(self.state.params, self.state.batch_stats, warped.image)
+            evw = jax.tree_util.tree_map(np.asarray, evw)
+            inv_h = np.asarray(warped.inv_homography)
+            hom = np.asarray(warped.homography)
+
+            # YOLO stats (labels in the base frame)
+            for b in range(B):
+                bm = batch["box_mask"][b]
+                gts = batch["boxes"][b][bm]
+                labels = np.concatenate(
+                    [gts[:, :1], np.asarray(xywhn2xyxy(jnp.asarray(gts[:, 1:]), W, H))], axis=1
+                ) if len(gts) else np.zeros((0, 5))
+                dv = ev["det"]["valid"][b]
+                dets = np.concatenate(
+                    [ev["det"]["boxes"][b][dv], ev["det"]["scores"][b][dv, None],
+                     ev["det"]["classes"][b][dv, None].astype(np.float32)], axis=1
+                ) if dv.any() else np.zeros((0, 6))
+                correct = process_batch(dets, labels, iouv)
+                stats.append((correct, dets[:, 4], dets[:, 5], labels[:, 0]))
+
+                if n_extended < self.extended_val_n:
+                    kp = np.concatenate(
+                        [ev["pts"][b][ev["valid"][b]], ev["scores"][b][ev["valid"][b], None]], 1
+                    )
+                    wkp = np.concatenate(
+                        [evw["pts"][b][evw["valid"][b]], evw["scores"][b][evw["valid"][b], None]], 1
+                    )
+                    rep, _ = compute_repeatability(kp, wkp, hom[b], inv_h[b], (H, W))
+                    reps.append(rep)
+                    hc = compute_homography_correctness(
+                        kp, wkp,
+                        ev["desc"][b][ev["valid"][b]], evw["desc"][b][evw["valid"][b]],
+                        inv_h[b], (H, W),
+                    )
+                    homos.append(hc["correctness"])
+                    matching.append(hc["matching_score"])
+                    n_extended += 1
+
+            # soft precision/recall of heatmap vs point labels
+            pr = batch_precision_recall(
+                ev["heatmap"],
+                np.asarray(
+                    jax.vmap(
+                        lambda p, m: _label_map_np(p, m, H, W)
+                    )(jnp.asarray(batch["points"]), jnp.asarray(batch["point_mask"]))
+                ),
+            )
+            precs.append(pr["precision"].mean())
+            recs.append(pr["recall"].mean())
+
+        # aggregate mAP
+        mp = mr = map50 = map_ = 0.0
+        if stats:
+            correct = np.concatenate([s[0] for s in stats])
+            conf = np.concatenate([s[1] for s in stats])
+            pcls = np.concatenate([s[2] for s in stats])
+            tcls = np.concatenate([s[3] for s in stats])
+            if len(tcls) and len(conf):
+                _, _, p, r, _, ap, _ = ap_per_class(correct, conf, pcls, tcls)
+                mp, mr = float(p.mean()), float(r.mean())
+                map50, map_ = float(ap[:, 0].mean()), float(ap.mean())
+
+        rep = float(np.mean(reps)) if reps else 0.0
+        homo = float(np.mean(homos)) if homos else 0.0
+        fit = combined_fitness(rep, homo, fitness_yolo(mp, mr, map50, map_))
+        scalars = {
+            "precision": float(np.mean(precs)) if precs else 0.0,
+            "recall": float(np.mean(recs)) if recs else 0.0,
+            "repeatability": rep,
+            "homography_correctness": homo,
+            "matching_score": float(np.mean(matching)) if matching else 0.0,
+            "mAP50": map50, "mAP": map_, "box_p": mp, "box_r": mr,
+            "fitness": fit,
+        }
+        self.metrics.write(self.global_step, scalars, prefix="validation/")
+        LOGGER.info(f"val e{epoch}: {scalars}")
+        return scalars
+
+
+def _label_map_np(points, mask, H, W):
+    from yolopoint_tpu.ops.geometry import points_to_label_map
+
+    return points_to_label_map(points, mask, H, W)

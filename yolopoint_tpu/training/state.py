@@ -1,0 +1,139 @@
+"""Train state: params + BN stats + optax optimizer, schedules, freezing.
+
+Replaces the reference's torch Adam + LambdaLR + layer freezing + shrink-
+perturb warm start (`/root/reference/src/train.py:88-115,598-604`,
+`freeze_layers` `/root/reference/src/models/YOLOPoint.py:137-145`) with optax:
+* linear lr decay 1 -> lrf over epochs (`src/train.py:91-93`)
+* grad-norm clipping (`:249-250`)
+* gradient accumulation via `optax.MultiSteps` (Accelerate's accumulate,
+  `:38-43,190`)
+* freezing via `optax.masked` zero-updates (index-slice spec
+  `parse_str_slice`-compatible)
+* shrink-perturb: θ <- λθ + N(0, σ) on weight tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def parse_str_slice(spec: str) -> list[int]:
+    """`'0-62, 100'` -> [0..62, 100] (reference `parse_str_slice`,
+    `/root/reference/src/utils/utils.py:22-27`)."""
+    out: list[int] = []
+    for part in spec.replace(" ", "").split(","):
+        if "-" in part:
+            a, b = part.split("-")
+            out.extend(range(int(a), int(b) + 1))
+        elif part:
+            out.append(int(part))
+    return out
+
+
+def freeze_mask_from_indices(params, frozen_indices: Sequence[int]):
+    """Boolean pytree: True = trainable. Parameters are enumerated in pytree
+    order (the reference freezes by `named_parameters()` index,
+    `YOLOPoint.py:137-145`)."""
+    frozen = set(frozen_indices)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    flags = [i not in frozen for i in range(len(leaves))]
+    return jax.tree_util.tree_unflatten(treedef, flags)
+
+
+def linear_lr_schedule(base_lr: float, lrf: float, total_epochs: int, steps_per_epoch: int):
+    """lr(e) = base * (1 - e/E * (1 - lrf)) stepped per epoch
+    (`/root/reference/src/train.py:91-93`)."""
+
+    def schedule(step):
+        epoch = jnp.minimum(step // max(steps_per_epoch, 1), total_epochs)
+        frac = epoch.astype(jnp.float32) / max(total_epochs, 1)
+        return base_lr * (1.0 - frac * (1.0 - lrf))
+
+    return schedule
+
+
+def make_optimizer(
+    learning_rate: float = 1e-3,
+    lrf: float = 0.1,
+    total_epochs: int = 100,
+    steps_per_epoch: int = 1000,
+    grad_clip: Optional[float] = None,
+    accumulate_steps: int = 1,
+    trainable_mask=None,
+    betas: tuple[float, float] = (0.9, 0.999),
+) -> optax.GradientTransformation:
+    sched = linear_lr_schedule(learning_rate, lrf, total_epochs, steps_per_epoch)
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
+    chain.append(optax.scale_by_learning_rate(sched))
+    tx = optax.chain(*chain)
+    if trainable_mask is not None:
+        tx = optax.chain(
+            optax.masked(tx, trainable_mask),
+            optax.masked(optax.set_to_zero(),
+                         jax.tree_util.tree_map(lambda t: not t, trainable_mask)),
+        )
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
+
+
+def create_train_state(
+    model,
+    rng: jax.Array,
+    input_shape: tuple[int, ...],
+    tx: Optional[optax.GradientTransformation] = None,
+    variables: Optional[dict] = None,
+    **opt_kwargs,
+) -> TrainState:
+    """Initialize (or adopt converted) variables and build the state."""
+    if variables is None:
+        variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if tx is None:
+        tx = make_optimizer(**opt_kwargs)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def shrink_perturb(params, rng: jax.Array, lam: float = 0.5, sigma: float = 0.01):
+    """θ_w <- λ·θ_w + N(0, σ) on weight tensors (rank >= 2), biases/scales
+    untouched — warm-start trick (`/root/reference/src/train.py:598-604`)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(rng, len(leaves))
+    new_leaves = [
+        lam * leaf + sigma * jax.random.normal(k, leaf.shape, leaf.dtype)
+        if leaf.ndim >= 2 else leaf
+        for leaf, k in zip(leaves, keys)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

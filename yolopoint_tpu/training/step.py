@@ -1,0 +1,189 @@
+"""The jitted, mesh-sharded joint training step.
+
+One XLA program per step (vs. the reference's python-orchestrated double
+forward + three losses + DDP backward, `/root/reference/src/train.py:200-252`):
+
+  on-device augmentation (photometric + homographic warped pair)
+  -> forward(base) + forward(warped)          [shared params]
+  -> detector BCE x2 + YOLOv5 object loss + sparse descriptor loss
+  -> total = (det + det_warp) + λ·desc + λ_obj·obj   (train.py:238-241)
+  -> grads -> psum over the `data` mesh axis -> optimizer update
+  -> BN batch stats pmean'd across replicas.
+
+Parallelism is `shard_map` over a 1-D data mesh: batch sharded, params
+replicated, one `psum` per step for grads/metrics — the entire
+Accelerate/DDP/NCCL surface of the reference (SURVEY.md §2.8) reduced to two
+collectives. BatchNorm stats are per-replica within the step (the reference
+trains with `broadcast_buffers=False`, i.e. unsynced BN) but pmean-synced
+after the update so checkpoints are replica-independent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from yolopoint_tpu.data.augmentation import build_training_views
+from yolopoint_tpu.losses.descriptor import descriptor_loss_sparse, infonce_loss
+from yolopoint_tpu.losses.detector import detector_loss
+from yolopoint_tpu.losses.objects import ObjectLossConfig, object_loss
+from yolopoint_tpu.ops.heatmap import cell_valid_mask, labels_to_cells
+from yolopoint_tpu.parallel.mesh import DATA_AXIS
+
+
+@dataclasses.dataclass(frozen=True)
+class LossWeights:
+    """λ weights + sparse-loss sampling config
+    (`/root/reference/src/train.py:147-168`, `configs/coco.yaml`)."""
+
+    lambda_desc: float = 0.1       # lambda_loss
+    lambda_obj: float = 10.0       # lambda_loss_obj
+    joint_training: bool = True
+    desc_loss_type: str = "sparse"  # "sparse" | "infonce"
+    num_samples_per_image: int = 1000
+    num_masked_non_matches_per_match: int = 120
+
+
+def rescale_yolo_gains(cfg: ObjectLossConfig, nc: int, img_size: int, nl: int = 3) -> ObjectLossConfig:
+    """Train-time gain rescaling (`/root/reference/src/train.py:158-166`)."""
+    return dataclasses.replace(
+        cfg,
+        box=cfg.box * 3.0 / nl,
+        cls=cfg.cls * nc / 80.0,
+        obj=cfg.obj * (img_size / 640.0) ** 2 * 3.0 / nl,
+    )
+
+
+def compute_losses(
+    model,
+    params,
+    batch_stats,
+    batch: Mapping[str, jax.Array],
+    rng: jax.Array,
+    aug_config: Mapping[str, Any],
+    obj_cfg: ObjectLossConfig,
+    weights: LossWeights,
+    anchors_per_stride,
+    nc: int,
+    train: bool = True,
+):
+    """Augment + double forward + all losses. Returns (loss, (aux, stats))."""
+    k_aug, k_desc = jax.random.split(rng)
+    base, warped = build_training_views(
+        k_aug,
+        batch["image"],
+        batch["points"],
+        batch["point_mask"],
+        batch["boxes"],
+        batch["box_mask"],
+        aug_config,
+    )
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    mutable = ["batch_stats"] if train else []
+
+    out, vstate = model.apply(variables, base.image, train=train, mutable=mutable) \
+        if train else (model.apply(variables, base.image, train=False), {})
+    out_w, vstate2 = model.apply(
+        {"params": params, "batch_stats": vstate.get("batch_stats", batch_stats)},
+        warped.image, train=train, mutable=mutable,
+    ) if train else (model.apply(variables, warped.image, train=False), {})
+    new_stats = vstate2.get("batch_stats", batch_stats)
+
+    # keypoint detector losses on both views
+    t_base = labels_to_cells(base.labels_2d)
+    m_base = cell_valid_mask(base.valid_mask)
+    loss_det = detector_loss(out["semi"], t_base, m_base)
+    t_warp = labels_to_cells(warped.labels_2d)
+    m_warp = cell_valid_mask(warped.valid_mask)
+    loss_det_warp = detector_loss(out_w["semi"], t_warp, m_warp)
+
+    # object loss on the base view
+    if "objects" in out and weights.lambda_obj > 0:
+        loss_obj, obj_items = object_loss(
+            out["objects"], base.boxes, base.box_mask, anchors_per_stride, obj_cfg, nc
+        )
+    else:
+        loss_obj = jnp.zeros(())
+        obj_items = {"box": loss_obj, "obj": loss_obj, "cls": loss_obj}
+
+    # descriptor loss between views
+    if weights.joint_training:
+        desc_fn = infonce_loss if weights.desc_loss_type == "infonce" else descriptor_loss_sparse
+        loss_desc = desc_fn(
+            out["desc"], out_w["desc"], warped.valid_mask, warped.inv_homography, k_desc,
+            num_samples_per_image=weights.num_samples_per_image,
+            num_masked_non_matches_per_match=weights.num_masked_non_matches_per_match,
+        )
+    else:
+        loss_desc = jnp.zeros(())
+
+    total = (loss_det + loss_det_warp) + weights.lambda_desc * loss_desc \
+        + weights.lambda_obj * loss_obj
+    aux = {
+        "loss": total,
+        "loss_det": loss_det + loss_det_warp,
+        "loss_desc": weights.lambda_desc * loss_desc,
+        "loss_obj": weights.lambda_obj * loss_obj,
+        **{f"obj_{k}": v for k, v in obj_items.items()},
+    }
+    return total, (aux, new_stats)
+
+
+def make_train_step(
+    model,
+    mesh: Mesh,
+    aug_config: Mapping[str, Any],
+    obj_cfg: ObjectLossConfig,
+    weights: LossWeights,
+    nc: int,
+    donate: bool = True,
+):
+    """Build the jitted DP train step over `mesh`.
+
+    batch pytree (host side, leading dim = global batch):
+      image (B, H, W, C) f32 [0,1]; points (B, N, 2); point_mask (B, N);
+      boxes (B, M, 5); box_mask (B, M).
+    """
+    from yolopoint_tpu.models.detect import Detect
+
+    anchors_ps = None
+    det = getattr(model, "anchors", None)
+    # pull static anchor table from the model definition when present
+    if hasattr(model, "anchors") and model.anchors is not None:
+        anchors_ps = Detect(nc=nc, anchors=model.anchors).anchors_per_stride()
+
+    def step(state, batch, rng):
+        # per-replica rng: fold in the replica index so augmentation differs
+        idx = jax.lax.axis_index(DATA_AXIS)
+        rng = jax.random.fold_in(rng, idx)
+
+        def loss_fn(params):
+            return compute_losses(
+                model, params, state.batch_stats, batch, rng,
+                aug_config, obj_cfg, weights, anchors_ps, nc, train=True,
+            )
+
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        aux = jax.lax.pmean(aux, DATA_AXIS)
+        new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        new_state = state.apply_gradients(grads=grads, new_batch_stats=new_stats)
+        return new_state, aux
+
+    state_spec = P()  # replicated
+    batch_spec = P(DATA_AXIS)
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(state_spec, batch_spec, state_spec),
+        out_specs=(state_spec, state_spec),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
