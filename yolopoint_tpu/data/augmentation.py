@@ -90,6 +90,40 @@ def _warp_boxes(
     return new_boxes, keep
 
 
+def flip_augment(
+    key: jax.Array,
+    images: jax.Array,
+    points: jax.Array,
+    boxes: jax.Array,
+    horizontal: float = 0.0,
+    vertical: float = 0.0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-image random horizontal/vertical flips of image + points + boxes.
+
+    Parity: `flip` `/root/reference/src/utils/homographies.py:149-179`
+    (config `augmentation.homographic.flipping`, applied train-only). Boxes
+    are normalized xywh so a flip just mirrors cx/cy.
+    """
+    B, H, W, _ = images.shape
+    kh, kv = jax.random.split(key)
+    do_h = jax.random.bernoulli(kh, horizontal, (B,)) if horizontal else jnp.zeros(B, bool)
+    do_v = jax.random.bernoulli(kv, vertical, (B,)) if vertical else jnp.zeros(B, bool)
+
+    img_h = jnp.where(do_h[:, None, None, None], images[:, :, ::-1], images)
+    img_hv = jnp.where(do_v[:, None, None, None], img_h[:, ::-1], img_h)
+
+    px = jnp.where(do_h[:, None], (W - 1) - points[..., 0], points[..., 0])
+    py = jnp.where(do_v[:, None], (H - 1) - points[..., 1], points[..., 1])
+    new_points = jnp.stack([px, py], axis=-1)
+
+    bx = jnp.where(do_h[:, None], 1.0 - boxes[..., 1], boxes[..., 1])
+    by = jnp.where(do_v[:, None], 1.0 - boxes[..., 2], boxes[..., 2])
+    new_boxes = jnp.concatenate(
+        [boxes[..., 0:1], bx[..., None], by[..., None], boxes[..., 3:5]], axis=-1
+    )
+    return img_hv, new_points, new_boxes
+
+
 def homographic_augment(
     key: jax.Array,
     images: jax.Array,
@@ -161,7 +195,7 @@ def build_training_views(
     `config` is the `data.augmentation` YAML subtree.
     """
     B, H, W, _ = images.shape
-    k_ph1, k_ph2, k_hom1, k_hom2 = jax.random.split(key, 4)
+    k_ph1, k_ph2, k_hom1, k_hom2, k_flip = jax.random.split(key, 5)
 
     phot_cfg = (config.get("photometric") or {})
     phot_params = phot_cfg.get("params") or {}
@@ -171,6 +205,13 @@ def build_training_views(
     hom_params = hom_cfg.get("params") or {}
     hom_enabled = bool(hom_cfg.get("enable", False))
     margin = int(hom_cfg.get("valid_border_margin", 0))
+
+    if flipping := hom_cfg.get("flipping"):
+        images, points, boxes = flip_augment(
+            k_flip, images, points, boxes,
+            horizontal=float(flipping.get("horizontal", 0.0)),
+            vertical=float(flipping.get("vertical", 0.0)),
+        )
 
     base_img = photometric_augment(k_ph1, images, phot_params) if phot_enabled else images
 

@@ -133,7 +133,7 @@ def photometric_augment(key: jax.Array, images: jax.Array, params: Mapping[str, 
     etc., 0-255 scale where the reference used uint8 semantics).
     """
     B = images.shape[0]
-    keys = iter(jax.random.split(key, 12))
+    keys = iter(jax.random.split(key, 20))
     x = images
 
     if p := params.get("random_brightness"):
@@ -153,6 +153,47 @@ def photometric_augment(key: jax.Array, images: jax.Array, params: Mapping[str, 
         u = jax.random.uniform(next(keys), x.shape[:3])[..., None]
         salt = jax.random.uniform(next(keys), x.shape[:3])[..., None] > 0.5
         x = jnp.where(u < prob, jnp.where(salt, 1.0, 0.0), x)
+    if p := params.get("add_elementwise"):
+        # iaa.AddElementwise: independent per-pixel offsets
+        val = p.get("value", (-10, 10)) if isinstance(p, Mapping) else p
+        lo, hi = (val if isinstance(val, (list, tuple)) else (-val, val))
+        x = x + jax.random.uniform(next(keys), x.shape, minval=lo / 255.0, maxval=hi / 255.0)
+    if p := params.get("add"):
+        # iaa.Sometimes(0.5, iaa.Add(value))
+        val = p.get("value", (-20, 20)) if isinstance(p, Mapping) else p
+        lo, hi = (val if isinstance(val, (list, tuple)) else (-val, val))
+        k1, k2 = jax.random.split(next(keys))
+        do = jax.random.bernoulli(k1, 0.5, (B, 1, 1, 1))
+        add = jax.random.uniform(k2, (B, 1, 1, 1), minval=lo / 255.0, maxval=hi / 255.0)
+        x = jnp.where(do, x + add, x)
+    if p := params.get("channel_shuffle"):
+        prob = float(p) if not isinstance(p, Mapping) else float(p.get("p", 0.5))
+        kd, kp = jax.random.split(next(keys))
+        do = jax.random.bernoulli(kd, prob, (B,))
+        perms = jax.vmap(lambda k: jax.random.permutation(k, x.shape[-1]))(
+            jax.random.split(kp, B)
+        )
+        shuffled = jax.vmap(lambda img, pm: img[..., pm])(x, perms)
+        x = jnp.where(do[:, None, None, None], shuffled, x)
+    if p := params.get("motion_blur"):
+        # iaa.Sometimes(0.5, MotionBlur(k)): horizontal/vertical line kernel
+        ksize = int(p["max_kernel_size"]) if isinstance(p, Mapping) else int(p)
+        ksize = max(3, ksize | 1)
+        kd, ko = jax.random.split(next(keys))
+        do = jax.random.bernoulli(kd, 0.5, (B, 1, 1, 1))
+        horiz = jax.random.bernoulli(ko, 0.5, ())
+        C = x.shape[-1]
+        line = jnp.ones((ksize,), jnp.float32) / ksize
+        kh = jnp.tile(line.reshape(-1, 1, 1, 1), (1, 1, 1, C))
+        kw_ = jnp.tile(line.reshape(1, -1, 1, 1), (1, 1, 1, C))
+        r = ksize // 2
+        blur_v = jax.lax.conv_general_dilated(
+            x, kh, (1, 1), padding=((r, r), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+        blur_h = jax.lax.conv_general_dilated(
+            x, kw_, (1, 1), padding=((0, 0), (r, r)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+        x = jnp.where(do, jnp.where(horiz, blur_h, blur_v), x)
     if p := params.get("hsv"):
         h_amp, s_amp, v_amp = p
         kh_, ks_, kv_ = jax.random.split(next(keys), 3)

@@ -65,6 +65,23 @@ def _focal_factor(logits, targets, gamma, alpha=0.25):
     return alpha_factor * (1.0 - p_t) ** gamma
 
 
+def qfocal_factor(logits, targets, gamma=1.5, alpha=0.25):
+    """Quality-focal modulation (`QFocalLoss`, `loss_functions.py:64-88`)."""
+    p = jax.nn.sigmoid(logits)
+    alpha_factor = targets * alpha + (1 - targets) * (1 - alpha)
+    return alpha_factor * jnp.abs(targets - p) ** gamma
+
+
+def bce_blur_with_logits(logits, targets, alpha=0.05):
+    """BCE with reduced missing-label effects
+    (`BCEBlurWithLogitsLoss`, `loss_functions.py:17-31`)."""
+    loss = _bce_logits(logits, targets)
+    p = jax.nn.sigmoid(logits)
+    dx = p - targets
+    alpha_factor = 1.0 - jnp.exp((dx - 1.0) / (alpha + 1e-4))
+    return (loss * alpha_factor).mean()
+
+
 def object_loss(
     preds: Sequence[jax.Array],
     targets: jax.Array,

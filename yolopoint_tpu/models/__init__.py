@@ -12,6 +12,10 @@ from yolopoint_tpu.models.blocks import (
     BottleneckV8,
     BottleneckCSP,
     C3,
+    C3MP,
+    C3TR,
+    C3SPP,
+    C3Ghost,
     C2f,
     SPP,
     SPPF,
@@ -19,6 +23,10 @@ from yolopoint_tpu.models.blocks import (
     GhostConv,
     GhostBottleneck,
     DWConv,
+    TransformerBlock,
+    TransformerLayer,
+    contract,
+    expand,
     make_divisible,
 )
 from yolopoint_tpu.models.detect import Detect, ANCHORS_DEFAULT

@@ -326,3 +326,154 @@ def upsample2x(x):
     """Nearest 2x upsample (torch Upsample(scale_factor=2, mode='nearest'))."""
     B, H, W, C = x.shape
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class TransformerLayer(nn.Module):
+    """Single pre-norm-free transformer layer (`common.py:43-57`): QKV
+    projections + MHA + 2-layer MLP, both residual, no LayerNorm."""
+
+    c: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (N, B, C) token-major like the torch module
+        q = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="v")(x)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.c, dtype=self.dtype, name="ma"
+        )
+        x = attn(q.swapaxes(0, 1), k.swapaxes(0, 1), v.swapaxes(0, 1)).swapaxes(0, 1) + x
+        y = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc1")(x)
+        y = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc2")(y)
+        return y + x
+
+
+class TransformerBlock(nn.Module):
+    """Vision-transformer block over flattened spatial tokens
+    (`common.py:60-76`): optional input conv, learnable position embedding via
+    a Dense layer, stacked TransformerLayers."""
+
+    c2: int
+    num_heads: int
+    num_layers: int
+    dtype: Any = jnp.float32
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.shape[-1] != self.c2:
+            x = ConvBnAct(self.c2, dtype=self.dtype, fused=self.fused, name="conv")(x, train)
+        B, H, W, C = x.shape
+        p = x.reshape(B, H * W, C).swapaxes(0, 1)  # (HW, B, C)
+        p = p + nn.Dense(self.c2, dtype=self.dtype, name="linear")(p)
+        for i in range(self.num_layers):
+            p = TransformerLayer(self.c2, self.num_heads, dtype=self.dtype, name=f"tr_{i}")(p)
+        return p.swapaxes(0, 1).reshape(B, H, W, self.c2)
+
+
+class C3TR(nn.Module):
+    """C3 with a TransformerBlock inner branch (`common.py:173-178`)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
+        y1 = TransformerBlock(c_, 4, self.n, dtype=self.dtype, fused=self.fused, name="m")(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv2")(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, fused=self.fused, name="cv3")(y, train)
+
+
+class C3SPP(nn.Module):
+    """C3 with an SPP inner branch (`common.py:181-186`)."""
+
+    c2: int
+    k: Sequence[int] = (5, 9, 13)
+    e: float = 0.5
+    dtype: Any = jnp.float32
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
+        y1 = SPP(c_, self.k, dtype=self.dtype, fused=self.fused, name="m")(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv2")(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, fused=self.fused, name="cv3")(y, train)
+
+
+class C3Ghost(nn.Module):
+    """C3 with GhostBottleneck inner blocks (`common.py:189-194`)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = GhostBottleneck(c_, dtype=self.dtype, fused=self.fused, name=f"m_{i}")(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv2")(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, fused=self.fused, name="cv3")(y, train)
+
+
+class C3MP(nn.Module):
+    """C3 variant with a stride-1 2x2 max-pool second branch (`common.py:137-149`)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    e: float = 0.5
+    dtype: Any = jnp.float32
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, e=1.0, dtype=self.dtype,
+                            fused=self.fused, name=f"m_{i}")(y1, train)
+        # torch MaxPool2d(kernel_size=2, stride=1) (no padding -> H-1, W-1);
+        # pad to keep concat shapes aligned, matching SAME-extent semantics
+        y2 = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 2, 2, 1), window_strides=(1, 1, 1, 1),
+            padding=((0, 0), (0, 1), (0, 1), (0, 0)),
+        )
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBnAct(self.c2, 1, dtype=self.dtype, fused=self.fused, name="cv3")(y, train)
+
+
+def contract(x, gain: int = 2):
+    """Width/height into channels (`common.py:272-283`): (B, H, W, C) ->
+    (B, H/g, W/g, C*g^2) with torch Contract's channel ordering."""
+    B, H, W, C = x.shape
+    g = gain
+    x = x.reshape(B, H // g, g, W // g, g, C)
+    x = x.transpose(0, 2, 4, 5, 1, 3)  # (B, g, g, C, H/g, W/g)
+    return x.reshape(B, g * g * C, H // g, W // g).transpose(0, 2, 3, 1)
+
+
+def expand(x, gain: int = 2):
+    """Channels into width/height (`common.py:286-297`), inverse ordering."""
+    B, H, W, C = x.shape
+    g = gain
+    x = x.transpose(0, 3, 1, 2).reshape(B, g, g, C // g**2, H, W)
+    x = x.transpose(0, 3, 4, 1, 5, 2)  # (B, C/g^2, H, g, W, g)
+    return x.reshape(B, C // g**2, H * g, W * g).transpose(0, 2, 3, 1)

@@ -74,6 +74,24 @@ class Detect(nn.Module):
         a = a / np.asarray(self.strides, np.float32)[:, None, None]
         return check_anchor_order(a, self.strides)
 
+    def _bias_init(self, level: int):
+        """Focal-style prior biases: obj ~ 8 objects/640px image at this
+        stride, cls ~ 0.6/(nc-1) — the reference `_initialize_biases`
+        (`/root/reference/src/models/YOLOPoint.py:92-100`)."""
+        import math
+
+        stride = float(self.strides[level])
+        b = np.zeros((self.na, self.no), np.float32)
+        b[:, 4] += math.log(8.0 / (640.0 / stride) ** 2)
+        if self.nc > 1:
+            b[:, 5:] += math.log(0.6 / (self.nc - 0.999999))
+
+        def init(key, shape, dtype=jnp.float32):
+            del key
+            return jnp.asarray(b.reshape(-1), dtype).reshape(shape)
+
+        return init
+
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], decode: bool = False):
         """Args:
@@ -91,7 +109,8 @@ class Detect(nn.Module):
         decoded = []
         for i, x in enumerate(feats):
             B, ny, nx, _ = x.shape
-            y = nn.Conv(self.no * self.na, (1, 1), dtype=self.dtype, name=f"m_{i}")(x)
+            y = nn.Conv(self.no * self.na, (1, 1), dtype=self.dtype,
+                        bias_init=self._bias_init(i), name=f"m_{i}")(x)
             # (B, ny, nx, na*no) -> (B, na, ny, nx, no); channel order is
             # (na, no) fastest-last like torch's view(bs, na, no, ny, nx)
             y = y.reshape(B, ny, nx, self.na, self.no).transpose(0, 3, 1, 2, 4)

@@ -23,17 +23,33 @@ MAX_WH = 7680.0  # class-offset magnitude, reference general_yolo.py:152
 
 
 def _greedy_nms_keep(boxes: jax.Array, valid: jax.Array, iou_thres: float) -> jax.Array:
-    """Greedy suppression over score-sorted boxes. Returns keep mask (N,)."""
+    """Greedy suppression over score-sorted boxes. Returns keep mask (N,).
+
+    Serial greedy NMS is a well-founded recursion (box i is suppressed iff
+    some higher-priority SURVIVING box overlaps it). Instead of N sequential
+    steps we run Jacobi fixed-point iterations of that recursion — one
+    (N, N) masked reduction per step, VPU-friendly — which reaches the exact
+    greedy solution within `suppression-chain depth` iterations (single
+    digits in practice); the while_loop exits at convergence.
+    """
     n = boxes.shape[0]
     iou = box_iou(boxes, boxes)
     idx = jnp.arange(n)
-    later = idx[None, :] > idx[:, None]  # strictly lower-priority boxes
+    later = idx[None, :] > idx[:, None]  # row suppresses strictly later cols
+    overlap = (iou > iou_thres) & later & valid[:, None] & valid[None, :]
 
-    def body(i, keep):
-        sup = (iou[i] > iou_thres) & later[i] & keep[i]
-        return keep & ~sup
+    def cond(carry):
+        keep, prev, i = carry
+        return jnp.logical_and(i < n, jnp.any(keep != prev))
 
-    return jax.lax.fori_loop(0, n, body, valid)
+    def body(carry):
+        keep, _, i = carry
+        suppressed = jnp.any(overlap & keep[:, None], axis=0)
+        return valid & ~suppressed, keep, i + 1
+
+    keep0 = valid & ~jnp.any(overlap, axis=0)  # first step from keep=valid
+    keep, _, _ = jax.lax.while_loop(cond, body, (keep0, valid, jnp.array(1)))
+    return keep
 
 
 @functools.partial(

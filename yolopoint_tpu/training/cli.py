@@ -1,0 +1,88 @@
+"""Training CLI mirroring the reference's `src/train.py` argparse surface.
+
+Reference launch (`/root/reference/src/train.py:622-654`, `README.md:76`):
+  accelerate launch src/train.py --config configs/coco.yaml --exper_name run1
+Here (single-controller JAX — multi-host via jax.distributed, no launcher):
+  python -m yolopoint_tpu.training.cli --config configs/coco.yaml \
+      --exper_name run1 [--model YOLOPoint --version s] [--debug] [--resume]
+
+Reads the reference YAML schema (same configs work), snapshots the merged
+config into the run dir like the reference (`:644-645`).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train YOLOPoint-TPU")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--exper_name", default="exp")
+    parser.add_argument("--model", default=None)
+    parser.add_argument("--version", default=None)
+    parser.add_argument("--output_dir", default="logs")
+    parser.add_argument("--data_root", default="datasets")
+    parser.add_argument("--debug", action="store_true",
+                        help="truncate datasets + force val split (overfit test)")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--pretrained", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    from yolopoint_tpu.data.datasets import build_dataset
+    from yolopoint_tpu.data.loader import DataLoader
+    from yolopoint_tpu.training.agent import TrainAgent
+    from yolopoint_tpu.utils.config import load_config, resolve_sub_configs, save_config
+    from yolopoint_tpu.utils.logging import LOGGER
+
+    overrides = {}
+    if args.model or args.version:
+        overrides["model"] = {}
+        if args.model:
+            overrides["model"]["name"] = args.model
+        if args.version:
+            overrides["model"]["version"] = args.version
+    if args.resume:
+        overrides["resume"] = True
+    if args.pretrained:
+        overrides["pretrained"] = args.pretrained
+
+    config = load_config(args.config, overrides)
+    names = config.get("names", [])
+
+    sub_cfgs = resolve_sub_configs(config, Path(args.config).parent)
+    tp = config.get("training_params", {})
+    train_sets = [
+        build_dataset(c["data"], "train", names, args.data_root, args.debug)
+        for c in sub_cfgs
+    ]
+    val_sets = [
+        build_dataset(c["data"], "val", names, args.data_root, args.debug)
+        for c in sub_cfgs
+    ]
+    train_loader = DataLoader(
+        train_sets, int(tp.get("train_batch_size", 8)), shuffle=True, seed=args.seed
+    )
+    val_loader = DataLoader(
+        val_sets, int(tp.get("val_batch_size", 8)), shuffle=False, seed=args.seed
+    )
+
+    output_dir = Path(args.output_dir) / args.exper_name
+    output_dir.mkdir(parents=True, exist_ok=True)
+    save_config(config, output_dir / "config.yml")
+    LOGGER.info(f"training {config.get('model', {}).get('name')} -> {output_dir}")
+
+    agent = TrainAgent(config, output_dir, train_loader, val_loader, seed=args.seed)
+    try:
+        agent.train()
+    except KeyboardInterrupt:
+        # reference saves last.pth.tar on interrupt (train.py:299-305)
+        agent.ckpt.save(int(agent.global_step), agent.state,
+                        metadata={"interrupted": True}, best=False)
+        LOGGER.info("interrupted — checkpoint saved")
+
+
+if __name__ == "__main__":
+    main()
