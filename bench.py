@@ -1,10 +1,19 @@
-"""Headline benchmark: YOLOPoint-S 640px single-image inference
-(boxes + keypoints + descriptors, full device-resident decode) on one chip.
+"""Headline benchmark: YOLOPoint-S 640px inference (boxes + keypoints +
+descriptors, full device-resident decode) on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The model runs the way it would be deployed: conv+BN folded at parameter
+level (`fold_batch_norm` — the reference fuses at load,
+`/root/reference/src/demo.py:49`) and the conv stack in bfloat16 on the MXU.
+Reported numbers:
+  * value          — batched images/sec/chip (headline, batch=BATCH)
+  * batch1_ms_p50  — single-frame latency, median
+  * kpt_match_ms_p50 — keypoint NMS + top-k + mutual-NN match p50 latency
+    (BASELINE.md secondary north-star metric)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Baseline: the torch-CPU reference path for the same model/size measured on
-this machine (see TORCH_CPU_BASELINE_IMG_S below; re-measure with
+this machine (see TORCH_CPU_BASELINE_IMG_S; re-measure with
 `python bench.py --measure-torch`). Driver target (BASELINE.md): >=5x
 torch-CPU and >=A100-parity images/sec/chip on v5e.
 """
@@ -21,25 +30,38 @@ import numpy as np
 # with the reference-equivalent pipeline (see --measure-torch); single core.
 TORCH_CPU_BASELINE_IMG_S = 0.48
 
+BATCH = 32
 
-def bench_tpu(batch: int = 1, iters: int = 30, warmup: int = 5) -> float:
+
+def _build_pipeline(batch: int, H: int = 640, W: int = 640):
+    """Fused bf16 inference pipeline with BN folded into conv weights."""
     import jax
     import jax.numpy as jnp
 
     from yolopoint_tpu.frontend.pipeline import InferencePipeline
     from yolopoint_tpu.models import build_model
+    from yolopoint_tpu.models.convert import fold_batch_norm
 
-    H = W = 640
-    model = build_model("YOLOPoint", "s", nc=80)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), train=False)
-    pipe = InferencePipeline(
-        model, variables,
+    model_f32 = build_model("YOLOPoint", "s", nc=80)
+    variables = model_f32.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), train=False)
+    folded = fold_batch_norm(variables)
+    model = build_model("YOLOPoint", "s", nc=80, dtype=jnp.bfloat16, fused=True)
+    return InferencePipeline(
+        model, folded,
         {"detection_threshold": 0.015, "nms": 4, "top_k": 1000,
          "conf_thresh": 0.25, "iou_thresh": 0.45, "max_det": 300},
         compute_dtype=jnp.bfloat16,
     )
-    img = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (batch, H, W, 3)), jnp.float32)
 
+
+def bench_throughput(batch: int = BATCH, iters: int = 20, warmup: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    pipe = _build_pipeline(batch)
+    img = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (batch, 640, 640, 3)), jnp.float32
+    )
     for _ in range(warmup):
         out = pipe(img)
     jax.block_until_ready(out)
@@ -49,6 +71,61 @@ def bench_tpu(batch: int = 1, iters: int = 30, warmup: int = 5) -> float:
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     return batch * iters / dt
+
+
+def bench_batch1_latency(iters: int = 50, warmup: int = 5) -> float:
+    """Median single-frame latency in ms (upload -> full decode -> ready)."""
+    import jax
+    import jax.numpy as jnp
+
+    pipe = _build_pipeline(1)
+    img = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 640, 640, 3)), jnp.float32)
+    for _ in range(warmup):
+        jax.block_until_ready(pipe(img))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(pipe(img))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3)
+
+
+def bench_kpt_nms_match(iters: int = 50, warmup: int = 5) -> float:
+    """p50 latency of the keypoint post-processing chain on device: heatmap
+    NMS + top-k extraction for two frames + descriptor sampling + mutual-NN
+    matching (the `kpt NMS + match` secondary metric, BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolopoint_tpu.ops.keypoints import extract_keypoints
+    from yolopoint_tpu.ops.matching import mutual_nearest_neighbor
+    from yolopoint_tpu.ops.sampling import sample_descriptors
+
+    H = W = 640
+    D = 256
+
+    @jax.jit
+    def chain(heat_a, heat_b, desc_a, desc_b):
+        pts_a, sc_a, va = extract_keypoints(heat_a, 0.015, 4, 1000, 4)
+        pts_b, sc_b, vb = extract_keypoints(heat_b, 0.015, 4, 1000, 4)
+        da = sample_descriptors(desc_a, pts_a)
+        db = sample_descriptors(desc_b, pts_b)
+        m = mutual_nearest_neighbor(da[0], db[0], va[0], vb[0], nn_thresh=0.7)
+        return pts_a, pts_b, m["indices"], m["valid"]
+
+    rng = np.random.default_rng(2)
+    heat_a = jnp.asarray(rng.uniform(0, 0.2, (1, H, W)), jnp.float32)
+    heat_b = jnp.asarray(rng.uniform(0, 0.2, (1, H, W)), jnp.float32)
+    desc_a = jnp.asarray(rng.normal(size=(1, H // 8, W // 8, D)), jnp.float32)
+    desc_b = jnp.asarray(rng.normal(size=(1, H // 8, W // 8, D)), jnp.float32)
+    for _ in range(warmup):
+        jax.block_until_ready(chain(heat_a, heat_b, desc_a, desc_b))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(heat_a, heat_b, desc_a, desc_b))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3)
 
 
 def measure_torch_cpu(iters: int = 3) -> float:
@@ -82,10 +159,16 @@ if __name__ == "__main__":
         ips = measure_torch_cpu()
         print(f"torch-cpu: {ips:.3f} img/s")
         sys.exit(0)
-    value = bench_tpu()
+    value = bench_throughput()
+    batch1_ms = bench_batch1_latency()
+    kpt_ms = bench_kpt_nms_match()
     print(json.dumps({
         "metric": "yolopoint_s_640_inference",
         "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / TORCH_CPU_BASELINE_IMG_S, 2),
+        "batch": BATCH,
+        "batch1_ms_p50": round(batch1_ms, 3),
+        "kpt_match_ms_p50": round(kpt_ms, 3),
+        "precision": "bf16-fused",
     }))

@@ -7,6 +7,40 @@ import jax.numpy as jnp
 from yolopoint_tpu.ops import keypoints
 
 
+def nms_fast_reference(in_corners, H: int, W: int, dist_thresh: int):
+    """Test-only oracle: exact replica of the reference serial grid NMS
+    (`/root/reference/src/utils/utils.py:118-182`). `in_corners` is `3xN`
+    `[x, y, conf]`; returns surviving `3xN` + indices."""
+    grid = np.zeros((H, W), int)
+    inds = np.zeros((H, W), int)
+    inds1 = np.argsort(-in_corners[2, :])
+    corners = in_corners[:, inds1]
+    rcorners = corners[:2, :].round().astype(int)
+    if rcorners.shape[1] == 0:
+        return np.zeros((3, 0)).astype(int), np.zeros(0).astype(int)
+    if rcorners.shape[1] == 1:
+        out = np.vstack((rcorners, in_corners[2])).reshape(3, 1)
+        return out, np.zeros((1,)).astype(int)
+    for i in range(rcorners.shape[1]):
+        grid[rcorners[1, i], rcorners[0, i]] = 1
+        inds[rcorners[1, i], rcorners[0, i]] = i
+    pad = dist_thresh
+    grid = np.pad(grid, ((pad, pad), (pad, pad)), mode="constant")
+    for i in range(rcorners.shape[1]):
+        pt = (rcorners[0, i] + pad, rcorners[1, i] + pad)
+        if grid[pt[1], pt[0]] == 1:
+            grid[pt[1] - pad:pt[1] + pad + 1, pt[0] - pad:pt[0] + pad + 1] = 0
+            grid[pt[1], pt[0]] = -1
+    keepy, keepx = np.where(grid == -1)
+    keepy, keepx = keepy - pad, keepx - pad
+    inds_keep = inds[keepy, keepx]
+    out = corners[:, inds_keep]
+    inds2 = np.argsort(-out[-1, :])
+    out = out[:, inds2]
+    out_inds = inds1[inds_keep[inds2]]
+    return out, out_inds
+
+
 def ref_get_pts_from_heatmap(heatmap, conf_thresh, nms_dist, border=4):
     """Oracle: /root/reference/src/utils/utils.py:465-485."""
     H, W = heatmap.shape
@@ -15,7 +49,7 @@ def ref_get_pts_from_heatmap(heatmap, conf_thresh, nms_dist, border=4):
         return np.zeros((3, 0))
     pts = np.zeros((3, len(xs)))
     pts[0], pts[1], pts[2] = ys, xs, heatmap[xs, ys]
-    pts, _ = keypoints.nms_fast_reference(pts, H, W, dist_thresh=nms_dist)
+    pts, _ = nms_fast_reference(pts, H, W, dist_thresh=nms_dist)
     inds = np.argsort(pts[2])
     pts = pts[:, inds[::-1]]
     rm = (

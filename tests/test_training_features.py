@@ -1,0 +1,242 @@
+"""Round-2 training-stack features: reference-order freezing, EMA, accum-aware
+LR accounting, the fixed extended-validation homography chain, and the
+TrainAgent validation path (val losses + confusion matrix)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from yolopoint_tpu.data.augmentation import build_training_views
+from yolopoint_tpu.evaluation.detector_eval import compute_repeatability
+from yolopoint_tpu.models import build_model
+from yolopoint_tpu.models.yolopoint import REFERENCE_MODULE_ORDER
+from yolopoint_tpu.training.state import (
+    create_train_state,
+    freeze_mask_from_spec,
+    iter_params_reference_order,
+    make_optimizer,
+)
+
+
+def _init_params(version="n", nc=3, hw=(64, 64)):
+    model = build_model("YOLOPoint", version, nc=nc)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)), train=False)
+    return model, variables
+
+
+def test_reference_order_enumeration():
+    """Leaves enumerate like torch named_parameters(): Conv1.conv.weight,
+    Conv1.bn.weight, Conv1.bn.bias, Conv2..., matching the published
+    freeze_layers index specs (`/root/reference/configs/kitti.yaml:168`)."""
+    _, variables = _init_params()
+    order = REFERENCE_MODULE_ORDER["YOLOPoint"]
+    paths = [p for p, _ in iter_params_reference_order(variables["params"], order)]
+    assert paths[0] == ("Conv1", "conv", "kernel")
+    assert paths[1] == ("Conv1", "bn", "scale")
+    assert paths[2] == ("Conv1", "bn", "bias")
+    assert paths[3] == ("Conv2", "conv", "kernel")
+    # module blocks appear in declaration order, not alphabetical
+    tops = []
+    for p in paths:
+        if p[0] not in tops:
+            tops.append(p[0])
+    assert tops == [m for m in order if m in variables["params"]]
+    # C3 walks cv1, cv2, cv3, then bottlenecks m_0...
+    b1 = [p for p in paths if p[0] == "Bottleneck1"]
+    assert b1[0][1] == "cv1" and b1[3][1] == "cv2" and b1[6][1] == "cv3"
+    assert b1[9][1] == "m_0"
+
+
+def test_freeze_spec_blocks_updates():
+    """'0-5' freezes Conv1+Conv2 (3 leaves each); an optimizer step must not
+    touch them while updating everything else."""
+    _, variables = _init_params()
+    params = variables["params"]
+    mask = freeze_mask_from_spec(params, "0-5", REFERENCE_MODULE_ORDER["YOLOPoint"])
+    flags = {p: f for (p, _), f in zip(
+        iter_params_reference_order(params, REFERENCE_MODULE_ORDER["YOLOPoint"]),
+        (f for _, f in iter_params_reference_order(mask, REFERENCE_MODULE_ORDER["YOLOPoint"])),
+    )}
+    assert not flags[("Conv1", "conv", "kernel")]
+    assert not flags[("Conv2", "bn", "bias")]
+    assert flags[("Conv3", "conv", "kernel")]
+
+    tx = make_optimizer(learning_rate=0.1, trainable_mask=mask)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    for (path, old), (_, new) in zip(
+        iter_params_reference_order(params), iter_params_reference_order(new_params)
+    ):
+        delta = float(jnp.abs(new - old).max())
+        if path[0] in ("Conv1", "Conv2"):
+            assert delta == 0.0, f"frozen {path} changed by {delta}"
+        else:
+            assert delta > 0.0, f"trainable {path} not updated"
+
+
+def test_accum_aware_lr_schedule():
+    """With accumulation k, the LR schedule must advance once per k
+    micro-steps (MultiSteps applies the inner chain on real steps only) —
+    VERDICT weak #9. base_lr=1, lrf=0.1, 10 epochs of 1 real step each:
+    adam's first real step moves params by ~1.0, the second by ~0.91."""
+    params = {"w": jnp.zeros((4, 4))}
+    tx = make_optimizer(
+        learning_rate=1.0, lrf=0.1, total_epochs=10, steps_per_epoch=1,
+        accumulate_steps=2,
+    )
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones((4, 4))}
+    history = [params["w"]]
+    for _ in range(4):  # 4 micro-steps = 2 real steps
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        history.append(params["w"])
+    # micro-step 1 makes no update; micro-step 2 applies lr(epoch 0) = 1.0
+    assert float(jnp.abs(history[1] - history[0]).max()) == 0.0
+    d1 = float(jnp.abs(history[2] - history[1]).max())
+    d2 = float(jnp.abs(history[4] - history[3]).max())
+    np.testing.assert_allclose(d1, 1.0, rtol=1e-3)
+    np.testing.assert_allclose(d2 / d1, 0.91, rtol=2e-2)
+
+
+def test_ema_state_updates():
+    model, variables = _init_params(hw=(32, 32))
+    tx = make_optimizer(learning_rate=0.01)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, 32, 32, 3), tx=tx, variables=variables,
+        ema=True,
+    )
+    assert state.ema_params is not None
+    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    new_state = state.apply_gradients(grads, state.batch_stats)
+    from yolopoint_tpu.training.ema import ema_update
+
+    ema = ema_update(new_state.ema_params, new_state.params, new_state.step)
+    # decay ramps from ~0 -> EMA starts close to the live params
+    leaf = jax.tree_util.tree_leaves(ema)[0]
+    live = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert float(jnp.abs(leaf - live).max()) < 1e-2
+
+
+def test_extended_val_homography_chain(rng):
+    """Regression for VERDICT weak #1: with homographic aug enabled for BOTH
+    the base view and the warped pair, the stored pair homography must link
+    the two views exactly — repeatability of (base.points vs warped.points)
+    through that H is ~1."""
+    B, H, W = 2, 96, 128
+    n_pts = 40
+    batch = {
+        "image": rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32),
+        "points": np.stack(
+            [rng.uniform(10, W - 10, (B, n_pts)), rng.uniform(10, H - 10, (B, n_pts))],
+            axis=-1,
+        ).astype(np.float32),
+        "point_mask": np.ones((B, n_pts), bool),
+        "boxes": np.zeros((B, 2, 5), np.float32),
+        "box_mask": np.zeros((B, 2), bool),
+    }
+    config = {
+        "photometric": {"enable": True, "params": {"random_brightness": {"max_abs_change": 40}}},
+        "homographic": {
+            "enable": True,
+            "params": {"patch_ratio": 0.9, "perspective_amplitude_x": 0.05,
+                       "perspective_amplitude_y": 0.05, "scaling_amplitude": 0.1,
+                       "max_angle": 0.3},
+            "valid_border_margin": 2,
+        },
+        "warped_pair": {},
+    }
+    base, warped = build_training_views(
+        jax.random.PRNGKey(5),
+        jnp.asarray(batch["image"]), jnp.asarray(batch["points"]),
+        jnp.asarray(batch["point_mask"]), jnp.asarray(batch["boxes"]),
+        jnp.asarray(batch["box_mask"]), config,
+    )
+    hom = np.asarray(warped.homography)
+    inv_h = np.asarray(warped.inv_homography)
+    for b in range(B):
+        bp = np.asarray(base.points[b])[np.asarray(base.point_mask[b])]
+        wp = np.asarray(warped.points[b])[np.asarray(warped.point_mask[b])]
+        kp = np.concatenate([bp, np.ones((len(bp), 1))], axis=1)
+        wkp = np.concatenate([wp, np.ones((len(wp), 1))], axis=1)
+        rep, loc_err = compute_repeatability(kp, wkp, hom[b], inv_h[b], (H, W))
+        assert rep > 0.9, f"H chain broken: repeatability {rep}"
+        assert 0 <= loc_err < 1.0
+
+
+@pytest.fixture(scope="module")
+def tiny_agent(tmp_path_factory):
+    from yolopoint_tpu.training.agent import TrainAgent
+
+    rng = np.random.default_rng(3)
+    B, H, W, nc = 8, 64, 64, 3
+
+    def mk_batch():
+        return {
+            "image": rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32),
+            "points": rng.uniform(8, 56, (B, 12, 2)).astype(np.float32),
+            "point_mask": np.ones((B, 12), bool),
+            "boxes": np.concatenate(
+                [rng.integers(0, nc, (B, 3, 1)).astype(np.float32),
+                 rng.uniform(0.35, 0.65, (B, 3, 2)).astype(np.float32),
+                 rng.uniform(0.2, 0.3, (B, 3, 2)).astype(np.float32)], axis=-1),
+            "box_mask": np.ones((B, 3), bool),
+        }
+
+    loader = [mk_batch() for _ in range(2)]
+    config = {
+        "names": ["a", "b", "c"],
+        "model": {"name": "YOLOPoint", "version": "n"},
+        "training_params": {
+            "epochs": 1, "train_batch_size": 8, "learning_rate": 1e-3,
+            "ema": {"enable": True}, "patience": 5,
+        },
+        "freeze_layers": "0-5",
+        "joint_training": True,
+        "model_extra": {},
+        "data": {"augmentation": {
+            "photometric": {"enable": False},
+            "homographic": {"enable": False},
+            "warped_pair": {"params": {"patch_ratio": 0.9}, "valid_border_margin": 2},
+        }},
+        "extended_val_sample_size": 4,
+        "model": {"name": "YOLOPoint", "version": "n",
+                  "superpoint": {"detection_threshold": 0.001,
+                                 "sparse_loss": {"params": {
+                                     "num_samples_per_image": 32,
+                                     "num_masked_non_matches_per_match": 8}}},
+                  "yolo": {}},
+    }
+    agent = TrainAgent(config, tmp_path_factory.mktemp("agent"), loader, val_loader=loader)
+    return agent, loader
+
+
+def test_agent_validate_full(tiny_agent):
+    agent, _ = tiny_agent
+    scalars = agent.validate(0)
+    for key in ("fitness", "repeatability", "homography_correctness",
+                "loss", "loss_det", "loss_desc", "loss_obj",
+                "precision", "recall", "mAP"):
+        assert key in scalars, f"missing {key}"
+        assert np.isfinite(scalars[key])
+    assert scalars["loss"] > 0
+    assert agent.confusion.matrix.shape == (4, 4)
+
+
+def test_agent_train_epoch_freezes_and_emas(tiny_agent):
+    agent, _ = tiny_agent
+    before = jax.tree_util.tree_map(np.asarray, agent.state.params)
+    agent.train()
+    after = agent.state.params
+    assert agent.state.ema_params is not None
+    c1_before = before["Conv1"]["conv"]["kernel"]
+    c1_after = np.asarray(after["Conv1"]["conv"]["kernel"])
+    np.testing.assert_array_equal(c1_before, c1_after)  # frozen
+    c3_delta = np.abs(
+        before["Conv3"]["conv"]["kernel"] - np.asarray(after["Conv3"]["conv"]["kernel"])
+    ).max()
+    assert c3_delta > 0

@@ -119,7 +119,8 @@ def compute_homography_correctness(
         "mean_dist": None,
         "inliers": np.zeros(0, int),
         "matches": np.hstack([m_src, m_dst]) if len(pairs) else np.zeros((0, 4)),
-        "mscores": dist / dist.max() if len(dist) else dist,
+        # guard: all-identical descriptors give dist.max()==0 -> NaN mscores
+        "mscores": dist / dist.max() if len(dist) and dist.max() > 0 else np.zeros_like(dist),
         "matching_score": 0.0,
         "homography": np.eye(3),
     }

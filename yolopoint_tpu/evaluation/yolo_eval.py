@@ -74,9 +74,12 @@ def ap_per_class(
     pred_cls: np.ndarray,
     target_cls: np.ndarray,
     eps: float = 1e-16,
+    return_curves: bool = False,
 ):
     """Per-class P, R, F1, AP from accumulated predictions
-    (`metrics_yolo.py:29-93`). Returns (tp, fp, p, r, f1, ap, unique_classes)."""
+    (`metrics_yolo.py:29-93`). Returns (tp, fp, p, r, f1, ap, unique_classes);
+    with `return_curves`, appends a dict of the full px/P/R/F1/PR curves for
+    plotting (reference `metrics_yolo.py:84-88` -> `plots_yolo.py`)."""
     order = np.argsort(-conf)
     tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
     unique_classes, nt = np.unique(target_cls, return_counts=True)
@@ -86,6 +89,7 @@ def ap_per_class(
     ap = np.zeros((nc, tp.shape[1]))
     p_curve = np.zeros((nc, 1000))
     r_curve = np.zeros((nc, 1000))
+    prec_values = np.zeros((nc, 101))
     for ci, c in enumerate(unique_classes):
         sel = pred_cls == c
         n_l, n_p = nt[ci], sel.sum()
@@ -98,14 +102,24 @@ def ap_per_class(
         precision = tpc / (tpc + fpc)
         p_curve[ci] = np.interp(-px, -conf[sel], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+            ap[ci, j], mpre, mrec = compute_ap(recall[:, j], precision[:, j])
+            if j == 0:  # PR curve at IoU 0.5
+                prec_values[ci] = np.interp(np.linspace(0, 1, 101), mrec, mpre)
 
     f1 = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
     i = smooth(f1.mean(0), 0.1).argmax()
     p, r, f1v = p_curve[:, i], r_curve[:, i], f1[:, i]
     tp_out = (r * nt).round()
     fp_out = (tp_out / (p + eps) - tp_out).round()
-    return tp_out, fp_out, p, r, f1v, ap, unique_classes.astype(int)
+    out = (tp_out, fp_out, p, r, f1v, ap, unique_classes.astype(int))
+    if return_curves:
+        curves = {
+            "px": px, "p": p_curve, "r": r_curve, "f1": f1,
+            "pr_x": np.linspace(0, 1, 101), "pr": prec_values,
+            "ap50": ap[:, 0], "classes": unique_classes.astype(int),
+        }
+        return out + (curves,)
+    return out
 
 
 class ConfusionMatrix:

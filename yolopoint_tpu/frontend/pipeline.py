@@ -89,7 +89,11 @@ class InferencePipeline:
     ):
         cfg = dict(config or {})
         self.model = model
-        self.variables = variables
+        # pin params on device once — numpy leaves (e.g. from fold_batch_norm)
+        # would otherwise re-upload the whole tree on every dispatch
+        self.variables = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, variables)
+        )
         self.conf_thresh = float(cfg.get("detection_threshold", 0.015))
         self.nms_radius = int(cfg.get("nms", 4))
         self.top_k = int(cfg.get("top_k", 1000))

@@ -335,6 +335,45 @@ MODEL_REGISTRY = {
     "YOLOv8Point": YOLOv8Point,
 }
 
+# Torch attribute declaration order of each reference architecture — the
+# order `named_parameters()` walks modules, which published `freeze_layers`
+# index specs count in (`/root/reference/src/models/YOLOPoint.py:156-196,
+# 257-292,352-369,407-421,461-499`; `configs/kitti.yaml:168-173`). Used by
+# `training.state.freeze_mask_from_spec`.
+REFERENCE_MODULE_ORDER = {
+    "YOLOPoint": [
+        "Conv1", "Conv2", "Bottleneck1", "Conv3", "Bottleneck2",
+        "Conv4", "Bottleneck3", "Conv5", "Bottleneck4", "SPPooling",
+        "Conv6", "Bottleneck5", "Conv7", "Bottleneck6", "Conv8",
+        "Bottleneck7", "Conv9", "Bottleneck8", "Detect",
+        "BottleneckDet", "ConvDet", "ConvDescB", "ConvDescA",
+        "BottleneckDesc", "ConvDesc",
+    ],
+    "YOLOPointv52": [
+        "Conv1", "Conv2", "Bottleneck1", "Conv3", "Bottleneck2",
+        "Conv4", "Bottleneck3", "Conv5", "Bottleneck4", "SPPooling",
+        "Bottleneck5", "Bottleneck6", "Conv8", "Bottleneck7", "Conv9",
+        "Bottleneck8", "Detect", "BottleneckDet", "ConvDescB",
+        "BottleneckDesc",
+    ],
+    "YOLOPointDet": [
+        "Conv1", "Conv2", "Bottleneck1", "Conv3", "Bottleneck2",
+        "BottleneckDet", "ConvDet", "ConvDescB", "ConvDescA",
+        "BottleneckDesc", "ConvDesc",
+    ],
+    "SuperPointNet": [
+        "conv1a", "conv1b", "conv2a", "conv2b", "conv3a", "conv3b",
+        "conv4a", "conv4b", "convPa", "convPb", "convDa", "convDb",
+    ],
+    "YOLOv8Point": [
+        "Conv0", "Conv1", "Bottleneck2", "Conv3", "Bottleneck4", "Conv5",
+        "Bottleneck6", "Conv7", "Bottleneck8", "SPPooling9", "Bottleneck12",
+        "Bottleneck15", "Conv16", "Bottleneck18", "Conv19", "Bottleneck21",
+        "Detect", "Conv22", "Conv25", "BottleneckDet", "BottleneckDesc",
+        "ConvDesc",
+    ],
+}
+
 
 def build_model(
     model_name: str = "YOLOPoint",

@@ -96,50 +96,31 @@ def extract_keypoints(
     masked = jnp.where(in_border[None], nmsed, 0.0)
     masked = jnp.where(masked >= conf_thresh, masked, 0.0)
 
-    flat = masked.reshape(B, H * W)
-    scores, idx = jax.lax.top_k(flat, max_k)
-    x = (idx % W).astype(jnp.float32)
-    y = (idx // W).astype(jnp.float32)
+    # Exact candidate reduction before top-k: NMS survivors are pairwise more
+    # than `radius` apart in inf-norm, so each (t x t) tile (t = radius) holds
+    # at most one non-zero — reduce each tile to its max + argmax, then top-k
+    # over H*W/t^2 tile maxima instead of H*W pixels (a large top_k over the
+    # full map is the latency hot spot on TPU).
+    t = max(int(nms_radius), 1)
+    Hp, Wp = -(-H // t) * t, -(-W // t) * t
+    padded = jnp.pad(masked, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    tiles = padded.reshape(B, Hp // t, t, Wp // t, t).transpose(0, 1, 3, 2, 4)
+    tiles = tiles.reshape(B, (Hp // t) * (Wp // t), t * t)
+    tile_max = tiles.max(axis=-1)
+    tile_arg = tiles.argmax(axis=-1).astype(jnp.int32)
+
+    n_tiles = tile_max.shape[1]
+    k = min(max_k, n_tiles)
+    scores, tidx = jax.lax.top_k(tile_max, k)
+    sub = jnp.take_along_axis(tile_arg, tidx, axis=1)
+    ntw = Wp // t
+    x = ((tidx % ntw) * t + sub % t).astype(jnp.float32)
+    y = ((tidx // ntw) * t + sub // t).astype(jnp.float32)
+    if k < max_k:
+        pad_n = max_k - k
+        scores = jnp.pad(scores, ((0, 0), (0, pad_n)))
+        x = jnp.pad(x, ((0, 0), (0, pad_n)))
+        y = jnp.pad(y, ((0, 0), (0, pad_n)))
     points = jnp.stack([x, y], axis=-1)
     valid = scores > 0.0
     return points, scores, valid
-
-
-def nms_fast_reference(in_corners, H: int, W: int, dist_thresh: int):
-    """Host-side exact replica of the reference serial grid NMS — used only as
-    a test oracle for `simple_nms`/`extract_keypoints` parity, never on the
-    compute path.
-
-    Args/returns follow `/root/reference/src/utils/utils.py:118-182`:
-    `in_corners` is `3xN` `[x, y, conf]`, returns surviving `3xN` + indices.
-    """
-    import numpy as np
-
-    grid = np.zeros((H, W), int)
-    inds = np.zeros((H, W), int)
-    inds1 = np.argsort(-in_corners[2, :])
-    corners = in_corners[:, inds1]
-    rcorners = corners[:2, :].round().astype(int)
-    if rcorners.shape[1] == 0:
-        return np.zeros((3, 0)).astype(int), np.zeros(0).astype(int)
-    if rcorners.shape[1] == 1:
-        out = np.vstack((rcorners, in_corners[2])).reshape(3, 1)
-        return out, np.zeros((1,)).astype(int)
-    for i in range(rcorners.shape[1]):
-        grid[rcorners[1, i], rcorners[0, i]] = 1
-        inds[rcorners[1, i], rcorners[0, i]] = i
-    pad = dist_thresh
-    grid = np.pad(grid, ((pad, pad), (pad, pad)), mode="constant")
-    for i in range(rcorners.shape[1]):
-        pt = (rcorners[0, i] + pad, rcorners[1, i] + pad)
-        if grid[pt[1], pt[0]] == 1:
-            grid[pt[1] - pad:pt[1] + pad + 1, pt[0] - pad:pt[0] + pad + 1] = 0
-            grid[pt[1], pt[0]] = -1
-    keepy, keepx = np.where(grid == -1)
-    keepy, keepx = keepy - pad, keepx - pad
-    inds_keep = inds[keepy, keepx]
-    out = corners[:, inds_keep]
-    inds2 = np.argsort(-out[-1, :])
-    out = out[:, inds2]
-    out_inds = inds1[inds_keep[inds2]]
-    return out, out_inds

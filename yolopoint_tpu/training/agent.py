@@ -20,10 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yolopoint_tpu.data.augmentation import build_training_views
 from yolopoint_tpu.evaluation.descriptor_eval import compute_homography_correctness
 from yolopoint_tpu.evaluation.detector_eval import batch_precision_recall, compute_repeatability
 from yolopoint_tpu.evaluation.yolo_eval import (
+    ConfusionMatrix,
     ap_per_class,
     combined_fitness,
     fitness_yolo,
@@ -31,18 +31,20 @@ from yolopoint_tpu.evaluation.yolo_eval import (
 )
 from yolopoint_tpu.losses.objects import ObjectLossConfig
 from yolopoint_tpu.models import build_model
-from yolopoint_tpu.models.detect import Detect
 from yolopoint_tpu.ops.boxes import xywhn2xyxy
-from yolopoint_tpu.ops.heatmap import cells_to_heatmap
-from yolopoint_tpu.ops.keypoints import extract_keypoints
-from yolopoint_tpu.ops.nms import batched_box_nms
-from yolopoint_tpu.ops.sampling import sample_descriptors
 from yolopoint_tpu.parallel.mesh import make_mesh, shard_batch
 from yolopoint_tpu.training.checkpoint import CheckpointManager
-from yolopoint_tpu.training.state import create_train_state, make_optimizer, shrink_perturb
+from yolopoint_tpu.training.ema import EarlyStopping
+from yolopoint_tpu.training.state import (
+    create_train_state,
+    freeze_mask_from_spec,
+    make_optimizer,
+    shrink_perturb,
+)
 from yolopoint_tpu.training.step import (
     LossWeights,
     make_train_step,
+    make_val_step,
     rescale_yolo_gains,
 )
 from yolopoint_tpu.utils.config import get as cfg_get
@@ -83,16 +85,47 @@ class TrainAgent:
         n_dev = len(self.mesh.devices.flatten())
         accum = max(round(64 / (batch_size * max(n_dev, 1))), 1)
         steps_per_epoch = len(train_loader)
+
+        # layer freezing by reference named_parameters() index
+        # (reference train.py:124-126, configs/kitti.yaml:168-173)
+        self.rng, k_init = jax.random.split(self.rng)
+        sample = next(iter(train_loader))
+        H, W = sample["image"].shape[1:3]
+        self._sample_shape = (1, H, W, sample["image"].shape[3])
+        variables = self.model.init(
+            k_init, jnp.zeros(self._sample_shape, jnp.float32), train=False
+        )
+        trainable_mask = None
+        if spec := config.get("freeze_layers"):
+            from yolopoint_tpu.models.yolopoint import REFERENCE_MODULE_ORDER
+
+            trainable_mask = freeze_mask_from_spec(
+                variables["params"], str(spec),
+                REFERENCE_MODULE_ORDER.get(self.model_name),
+            )
+            n_frozen = sum(not f for f in jax.tree_util.tree_leaves(trainable_mask))
+            LOGGER.info(f"freezing {n_frozen} parameter tensors ({spec!r})")
+
         tx = make_optimizer(
             learning_rate=float(tp.get("learning_rate", 1e-3)),
             lrf=float(tp.get("lrf", 0.1)),
             total_epochs=epochs,
-            steps_per_epoch=steps_per_epoch * accum,
+            # the schedule counts REAL optimizer steps: MultiSteps applies the
+            # inner transform once per `accum` micro-batches
+            steps_per_epoch=max(steps_per_epoch // accum, 1),
             grad_clip=float(tp["gradclip"]) if tp.get("gradclip") else None,
             accumulate_steps=accum,
+            trainable_mask=trainable_mask,
         )
         self.epochs = epochs
         self.accum = accum
+
+        ema_cfg = tp.get("ema") or {}
+        if not isinstance(ema_cfg, Mapping):
+            ema_cfg = {"enable": bool(ema_cfg)}
+        self.ema_enabled = bool(ema_cfg.get("enable", False))
+        patience = tp.get("patience")
+        self.stopper = EarlyStopping(int(patience)) if patience else None
 
         img_size = int(cfg_get(config, "data.preprocessing.img_size", 640))
         sp = cfg_get(config, "model.superpoint", {}) or {}
@@ -125,18 +158,26 @@ class TrainAgent:
         self.box_iou = float(yolo.get("iou_thresh", 0.6))
         self.extended_val_n = int(config.get("extended_val_sample_size", 10))
 
-        H = W = img_size
-        sample = next(iter(train_loader))
-        H, W = sample["image"].shape[1:3]
-        self._sample_shape = (1, H, W, sample["image"].shape[3])
-        self.state = create_train_state(self.model, self.rng, self._sample_shape, tx=tx)
+        self.state = create_train_state(
+            self.model, self.rng, self._sample_shape, tx=tx, variables=variables,
+            ema=self.ema_enabled,
+        )
 
         aug_config = cfg_get(config, "data.augmentation", {}) or {}
         self.train_step = make_train_step(
-            self.model, self.mesh, aug_config, self.obj_cfg, self.weights, self.nc
+            self.model, self.mesh, aug_config, self.obj_cfg, self.weights, self.nc,
+            ema_decay=float(ema_cfg.get("decay", 0.9999)),
+            ema_tau=float(ema_cfg.get("tau", 2000.0)),
         )
         self._aug_config = aug_config
-        self._eval_fn = jax.jit(self._eval_batch)
+        val_aug = cfg_get(config, "data.val_augmentation", None)
+        self._val_step = make_val_step(
+            self.model, val_aug if val_aug is not None else aug_config,
+            self.obj_cfg, self.weights, self.nc,
+            kpt_conf=self.kpt_conf, kpt_nms=self.kpt_nms, kpt_topk=self.kpt_topk,
+            box_conf=self.box_conf, box_iou=self.box_iou,
+        )
+        self.val_seed = int(config.get("val_seed", 42))
 
         self.ckpt = CheckpointManager(self.output_dir)
         self.metrics = MetricsWriter(self.output_dir)
@@ -214,58 +255,54 @@ class TrainAgent:
                 },
                 fitness=fitness, best=best,
             )
+            if self.stopper is not None and self.stopper(epoch, fitness):
+                LOGGER.info(
+                    f"early stopping at epoch {epoch}: no fitness improvement "
+                    f"in the last {self.stopper.patience} epochs"
+                )
+                break
 
     # ---------------- validation ----------------
 
-    def _eval_batch(self, params, batch_stats, images):
-        out = self.model.apply(
-            {"params": params, "batch_stats": batch_stats}, images,
-            train=False, decode=True,
-        )
-        heat = cells_to_heatmap(out["semi"].astype(jnp.float32))
-        pts, scores, valid = extract_keypoints(
-            heat, self.kpt_conf, self.kpt_nms, self.kpt_topk
-        )
-        desc = sample_descriptors(out["desc"].astype(jnp.float32), pts)
-        det = batched_box_nms(
-            out["objects"][0].astype(jnp.float32),
-            conf_thres=self.box_conf, iou_thres=self.box_iou, max_det=300,
-        )
-        return {
-            "heatmap": heat, "pts": pts, "scores": scores, "valid": valid,
-            "desc": desc, "det": det,
-        }
-
     def validate(self, epoch: int) -> dict[str, float]:
+        """Full validation epoch: val losses, YOLO mAP + confusion matrix,
+        point precision/recall, and extended repeatability/homography metrics
+        on up to `extended_val_sample_size` images. The extended metrics link
+        the decoded BASE view and its warped pair through the pair's stored
+        homography (reference `_validate`,
+        `/root/reference/src/train.py:309-568`)."""
         iouv = np.linspace(0.5, 0.95, 10)
         stats = []
         precs, recs = [], []
         reps, homos, matching = [], [], []
+        loss_sums: dict[str, float] = {}
+        n_batches = 0
         n_extended = 0
+        self.confusion = ConfusionMatrix(self.nc)
+        val_key = jax.random.PRNGKey(self.val_seed)
 
-        for batch in self.val_loader:
+        for bi, batch in enumerate(self.val_loader):
             batch.pop("names", None)
-            images = jnp.asarray(batch["image"])
-            ev = self._eval_fn(self.state.params, self.state.batch_stats, images)
-            ev = jax.tree_util.tree_map(np.asarray, ev)
-            B, H, W = ev["heatmap"].shape
-
-            # build warped pair for extended metrics on the first images
-            self.rng, k = jax.random.split(self.rng)
-            base, warped = build_training_views(
-                k, images, jnp.asarray(batch["points"]), jnp.asarray(batch["point_mask"]),
-                jnp.asarray(batch["boxes"]), jnp.asarray(batch["box_mask"]),
-                self._aug_config,
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            # deterministic per-batch augmentation (the reference seeds val
+            # sampling by index, DataClasses.py:305,379)
+            out = self._val_step(
+                self.state.params, self.state.batch_stats, jb,
+                jax.random.fold_in(val_key, bi),
             )
-            evw = self._eval_fn(self.state.params, self.state.batch_stats, warped.image)
-            evw = jax.tree_util.tree_map(np.asarray, evw)
-            inv_h = np.asarray(warped.inv_homography)
-            hom = np.asarray(warped.homography)
+            out = jax.tree_util.tree_map(np.asarray, out)
+            n_batches += 1
+            for k, v in out["losses"].items():
+                loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
 
-            # YOLO stats (labels in the base frame)
+            ev, evw = out["base"], out["warped"]
+            B, H, W = ev["heatmap"].shape
+            hom, inv_h = out["homography"], out["inv_homography"]
+
+            # YOLO stats (labels in the base-view frame)
             for b in range(B):
-                bm = batch["box_mask"][b]
-                gts = batch["boxes"][b][bm]
+                bm = out["box_mask"][b].astype(bool)
+                gts = out["boxes"][b][bm]
                 labels = np.concatenate(
                     [gts[:, :1], np.asarray(xywhn2xyxy(jnp.asarray(gts[:, 1:]), W, H))], axis=1
                 ) if len(gts) else np.zeros((0, 5))
@@ -276,6 +313,7 @@ class TrainAgent:
                 ) if dv.any() else np.zeros((0, 6))
                 correct = process_batch(dets, labels, iouv)
                 stats.append((correct, dets[:, 4], dets[:, 5], labels[:, 0]))
+                self.confusion.process_batch(dets, labels)
 
                 if n_extended < self.extended_val_n:
                     kp = np.concatenate(
@@ -295,29 +333,26 @@ class TrainAgent:
                     matching.append(hc["matching_score"])
                     n_extended += 1
 
-            # soft precision/recall of heatmap vs point labels
-            pr = batch_precision_recall(
-                ev["heatmap"],
-                np.asarray(
-                    jax.vmap(
-                        lambda p, m: _label_map_np(p, m, H, W)
-                    )(jnp.asarray(batch["points"]), jnp.asarray(batch["point_mask"]))
-                ),
-            )
+            # soft precision/recall of the base heatmap vs base point labels
+            pr = batch_precision_recall(ev["heatmap"], out["labels_2d"])
             precs.append(pr["precision"].mean())
             recs.append(pr["recall"].mean())
 
         # aggregate mAP
         mp = mr = map50 = map_ = 0.0
+        self.last_curves = None
         if stats:
             correct = np.concatenate([s[0] for s in stats])
             conf = np.concatenate([s[1] for s in stats])
             pcls = np.concatenate([s[2] for s in stats])
             tcls = np.concatenate([s[3] for s in stats])
             if len(tcls) and len(conf):
-                _, _, p, r, _, ap, _ = ap_per_class(correct, conf, pcls, tcls)
+                _, _, p, r, _, ap, classes, curves = ap_per_class(
+                    correct, conf, pcls, tcls, return_curves=True
+                )
                 mp, mr = float(p.mean()), float(r.mean())
                 map50, map_ = float(ap[:, 0].mean()), float(ap.mean())
+                self.last_curves = curves
 
         rep = float(np.mean(reps)) if reps else 0.0
         homo = float(np.mean(homos)) if homos else 0.0
@@ -331,12 +366,27 @@ class TrainAgent:
             "mAP50": map50, "mAP": map_, "box_p": mp, "box_r": mr,
             "fitness": fit,
         }
+        for k, v in loss_sums.items():
+            scalars[k] = v / max(n_batches, 1)
         self.metrics.write(self.global_step, scalars, prefix="validation/")
+        if plots_dir := self.config.get("val_plots"):
+            self.write_plots(Path(plots_dir) if isinstance(plots_dir, str) else
+                             self.output_dir / "plots", epoch)
         LOGGER.info(f"val e{epoch}: {scalars}")
         return scalars
 
+    def write_plots(self, directory: Path, epoch: int) -> None:
+        """Render PR/F1 curves + confusion matrix into `directory`
+        (reference `metrics_yolo.py:302-341`, `plots_yolo.py`)."""
+        from yolopoint_tpu.evaluation.plots import (
+            plot_confusion_matrix,
+            plot_pr_curves,
+        )
 
-def _label_map_np(points, mask, H, W):
-    from yolopoint_tpu.ops.geometry import points_to_label_map
-
-    return points_to_label_map(points, mask, H, W)
+        directory.mkdir(parents=True, exist_ok=True)
+        if self.last_curves is not None:
+            plot_pr_curves(self.last_curves, self.names, directory, prefix=f"e{epoch}_")
+        if self.confusion is not None:
+            plot_confusion_matrix(
+                self.confusion.matrix, self.names, directory / f"e{epoch}_confusion.png"
+            )

@@ -51,6 +51,8 @@ class CheckpointManager:
             "opt_state": _np_tree(state.opt_state),
             "step": int(state.step),
         }
+        if getattr(state, "ema_params", None) is not None:
+            payload["ema_params"] = _np_tree(state.ema_params)
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         meta = dict(metadata or {})
         if fitness is not None:
@@ -81,6 +83,8 @@ class CheckpointManager:
             "opt_state": _np_tree(state.opt_state),
             "step": 0,
         }
+        if getattr(state, "ema_params", None) is not None:
+            template["ema_params"] = _np_tree(state.ema_params)
         payload = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         meta_path = self.directory / f"meta_{step}.json"
         meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
@@ -90,6 +94,8 @@ class CheckpointManager:
             opt_state=payload["opt_state"],
             step=np.asarray(payload["step"], np.int32),
         )
+        if "ema_params" in payload:
+            new_state = new_state.replace(ema_params=payload["ema_params"])
         return new_state, meta
 
     def restore_best(self, state):

@@ -14,7 +14,8 @@ perturb warm start (`/root/reference/src/train.py:88-115,598-604`,
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+import re
+from typing import Any, Mapping, Optional, Sequence
 
 import flax
 import jax
@@ -28,6 +29,7 @@ class TrainState(flax.struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    ema_params: Any = None  # EMA shadow weights (None = EMA disabled)
 
     def apply_gradients(self, grads, new_batch_stats):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -60,6 +62,77 @@ def freeze_mask_from_indices(params, frozen_indices: Sequence[int]):
     leaves, treedef = jax.tree_util.tree_flatten(params)
     flags = [i not in frozen for i in range(len(leaves))]
     return jax.tree_util.tree_unflatten(treedef, flags)
+
+
+# --- reference-order parameter enumeration -------------------------------
+#
+# The reference freezes by `named_parameters()` index (torch declaration
+# order); published configs document index ranges like '0-62' = shared
+# backbone (`/root/reference/configs/kitti.yaml:168-173`). Flax dicts are
+# alphabetical, so to keep those specs reusable we enumerate leaves in the
+# torch traversal order: top-level modules in declaration order
+# (`models.yolopoint.REFERENCE_MODULE_ORDER`), children natural-sorted
+# except `conv` before `bn` (torch declares the conv first), leaves in
+# torch's weight-then-bias order (kernel -> scale -> bias).
+
+_LEAF_ORDER = {"kernel": 0, "scale": 1, "bias": 2}
+
+
+def _natural_key(s: str):
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
+
+
+def _child_sort_key(name: str, is_leaf: bool):
+    if is_leaf:
+        return (0, _LEAF_ORDER.get(name, 9), _natural_key(name))
+    if name == "conv":
+        return (1, 0, [])
+    if name == "bn":
+        return (1, 1, [])
+    return (2, 0, _natural_key(name))
+
+
+def iter_params_reference_order(params: Mapping, module_order: Optional[Sequence[str]] = None):
+    """Yield (path, leaf) pairs in the reference `named_parameters()` order."""
+
+    def walk(node, path):
+        if not isinstance(node, Mapping):
+            yield tuple(path), node
+            return
+        names = sorted(node.keys(),
+                       key=lambda k: _child_sort_key(k, not isinstance(node[k], Mapping)))
+        for name in names:
+            yield from walk(node[name], path + [name])
+
+    top = list(params.keys())
+    if module_order:
+        known = [m for m in module_order if m in params]
+        rest = sorted((m for m in top if m not in set(module_order)), key=_natural_key)
+        top = known + rest
+    else:
+        top = sorted(top, key=_natural_key)
+    for name in top:
+        yield from walk(params[name], [name])
+
+
+def freeze_mask_from_spec(
+    params: Mapping,
+    spec: str,
+    module_order: Optional[Sequence[str]] = None,
+):
+    """`freeze_layers: '0-62'` -> boolean pytree (True = trainable), indices
+    counted in the reference `named_parameters()` order (`iter_params_
+    reference_order`). Parity: `Model.freeze_layers`
+    `/root/reference/src/models/YOLOPoint.py:137-145` +
+    `parse_str_slice` `/root/reference/src/utils/utils.py:22-27`."""
+    frozen = set(parse_str_slice(spec))
+    mask: dict = {}
+    for i, (path, _) in enumerate(iter_params_reference_order(params, module_order)):
+        node = mask
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = i not in frozen
+    return mask
 
 
 def linear_lr_schedule(base_lr: float, lrf: float, total_epochs: int, steps_per_epoch: int):
@@ -108,9 +181,14 @@ def create_train_state(
     input_shape: tuple[int, ...],
     tx: Optional[optax.GradientTransformation] = None,
     variables: Optional[dict] = None,
+    ema: bool = False,
     **opt_kwargs,
 ) -> TrainState:
-    """Initialize (or adopt converted) variables and build the state."""
+    """Initialize (or adopt converted) variables and build the state.
+
+    `ema=True` keeps an EMA shadow copy of the params, updated inside the
+    train step (reference `ModelEMA`, `torch_utils_yolo.py:315-349`).
+    """
     if variables is None:
         variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), train=False)
     params = variables["params"]
@@ -123,6 +201,7 @@ def create_train_state(
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         tx=tx,
+        ema_params=jax.tree_util.tree_map(jnp.array, params) if ema else None,
     )
 
 

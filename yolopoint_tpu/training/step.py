@@ -60,42 +60,23 @@ def rescale_yolo_gains(cfg: ObjectLossConfig, nc: int, img_size: int, nl: int = 
     )
 
 
-def compute_losses(
-    model,
-    params,
-    batch_stats,
-    batch: Mapping[str, jax.Array],
-    rng: jax.Array,
-    aug_config: Mapping[str, Any],
+def losses_from_outputs(
+    out: Mapping[str, jax.Array],
+    out_w: Mapping[str, jax.Array],
+    base,
+    warped,
+    k_desc: jax.Array,
     obj_cfg: ObjectLossConfig,
     weights: LossWeights,
     anchors_per_stride,
     nc: int,
-    train: bool = True,
 ):
-    """Augment + double forward + all losses. Returns (loss, (aux, stats))."""
-    k_aug, k_desc = jax.random.split(rng)
-    base, warped = build_training_views(
-        k_aug,
-        batch["image"],
-        batch["points"],
-        batch["point_mask"],
-        batch["boxes"],
-        batch["box_mask"],
-        aug_config,
-    )
+    """All joint losses given the two forwards on (base, warped) views.
 
-    variables = {"params": params, "batch_stats": batch_stats}
-    mutable = ["batch_stats"] if train else []
-
-    out, vstate = model.apply(variables, base.image, train=train, mutable=mutable) \
-        if train else (model.apply(variables, base.image, train=False), {})
-    out_w, vstate2 = model.apply(
-        {"params": params, "batch_stats": vstate.get("batch_stats", batch_stats)},
-        warped.image, train=train, mutable=mutable,
-    ) if train else (model.apply(variables, warped.image, train=False), {})
-    new_stats = vstate2.get("batch_stats", batch_stats)
-
+    `out['objects']` must be the RAW Detect levels. Returns (total, aux dict)
+    — the loss blend `(det + det_warp) + λ·desc + λ_obj·obj` of the reference
+    train loop (`/root/reference/src/train.py:238-241`).
+    """
     # keypoint detector losses on both views
     t_base = labels_to_cells(base.labels_2d)
     m_base = cell_valid_mask(base.valid_mask)
@@ -133,7 +114,125 @@ def compute_losses(
         "loss_obj": weights.lambda_obj * loss_obj,
         **{f"obj_{k}": v for k, v in obj_items.items()},
     }
+    return total, aux
+
+
+def compute_losses(
+    model,
+    params,
+    batch_stats,
+    batch: Mapping[str, jax.Array],
+    rng: jax.Array,
+    aug_config: Mapping[str, Any],
+    obj_cfg: ObjectLossConfig,
+    weights: LossWeights,
+    anchors_per_stride,
+    nc: int,
+    train: bool = True,
+):
+    """Augment + double forward + all losses. Returns (loss, (aux, stats))."""
+    k_aug, k_desc = jax.random.split(rng)
+    base, warped = build_training_views(
+        k_aug,
+        batch["image"],
+        batch["points"],
+        batch["point_mask"],
+        batch["boxes"],
+        batch["box_mask"],
+        aug_config,
+    )
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    mutable = ["batch_stats"] if train else []
+
+    out, vstate = model.apply(variables, base.image, train=train, mutable=mutable) \
+        if train else (model.apply(variables, base.image, train=False), {})
+    out_w, vstate2 = model.apply(
+        {"params": params, "batch_stats": vstate.get("batch_stats", batch_stats)},
+        warped.image, train=train, mutable=mutable,
+    ) if train else (model.apply(variables, warped.image, train=False), {})
+    new_stats = vstate2.get("batch_stats", batch_stats)
+
+    total, aux = losses_from_outputs(
+        out, out_w, base, warped, k_desc, obj_cfg, weights, anchors_per_stride, nc
+    )
     return total, (aux, new_stats)
+
+
+def make_val_step(
+    model,
+    aug_config: Mapping[str, Any],
+    obj_cfg: ObjectLossConfig,
+    weights: LossWeights,
+    nc: int,
+    kpt_conf: float = 0.015,
+    kpt_nms: int = 4,
+    kpt_topk: int = 1000,
+    box_conf: float = 0.001,
+    box_iou: float = 0.6,
+    max_det: int = 300,
+):
+    """One jitted validation program per batch: augment views, forward both,
+    val losses + full device decode (heatmap, keypoint NMS, box NMS,
+    descriptor sampling) for BOTH views.
+
+    This replaces the reference's `_validate` device work
+    (`/root/reference/src/train.py:309-456`) with a single XLA program; the
+    returned homographies link the two decoded views (base -> warped), so
+    downstream repeatability/homography metrics use the correct transform —
+    the base keypoints come from `base.image`, not the raw batch.
+    """
+    from yolopoint_tpu.models.detect import Detect
+    from yolopoint_tpu.ops.heatmap import cells_to_heatmap
+    from yolopoint_tpu.ops.keypoints import extract_keypoints
+    from yolopoint_tpu.ops.nms import batched_box_nms
+    from yolopoint_tpu.ops.sampling import sample_descriptors
+
+    anchors_ps = None
+    if hasattr(model, "anchors") and model.anchors is not None:
+        anchors_ps = Detect(nc=nc, anchors=model.anchors).anchors_per_stride()
+
+    def decode(out):
+        heat = cells_to_heatmap(out["semi"].astype(jnp.float32))
+        pts, scores, valid = extract_keypoints(heat, kpt_conf, kpt_nms, kpt_topk)
+        desc = sample_descriptors(out["desc"].astype(jnp.float32), pts)
+        result = {"heatmap": heat, "pts": pts, "scores": scores, "valid": valid,
+                  "desc": desc}
+        if "objects" in out:
+            result["det"] = batched_box_nms(
+                out["objects"][0].astype(jnp.float32),
+                conf_thres=box_conf, iou_thres=box_iou, max_det=max_det,
+            )
+        return result
+
+    @jax.jit
+    def val_step(params, batch_stats, batch, rng):
+        k_aug, k_desc = jax.random.split(rng)
+        base, warped = build_training_views(
+            k_aug, batch["image"], batch["points"], batch["point_mask"],
+            batch["boxes"], batch["box_mask"], aug_config,
+        )
+        variables = {"params": params, "batch_stats": batch_stats}
+        out = model.apply(variables, base.image, train=False, decode=True)
+        out_w = model.apply(variables, warped.image, train=False, decode=True)
+
+        raw = dict(out, objects=out["objects"][1]) if "objects" in out else out
+        raw_w = dict(out_w, objects=out_w["objects"][1]) if "objects" in out_w else out_w
+        _, losses = losses_from_outputs(
+            raw, raw_w, base, warped, k_desc, obj_cfg, weights, anchors_ps, nc
+        )
+        return {
+            "losses": losses,
+            "base": decode(out),
+            "warped": decode(out_w),
+            "boxes": base.boxes,
+            "box_mask": base.box_mask,
+            "labels_2d": base.labels_2d,
+            "homography": warped.homography,
+            "inv_homography": warped.inv_homography,
+        }
+
+    return val_step
 
 
 def make_train_step(
@@ -144,6 +243,8 @@ def make_train_step(
     weights: LossWeights,
     nc: int,
     donate: bool = True,
+    ema_decay: float = 0.9999,
+    ema_tau: float = 2000.0,
 ):
     """Build the jitted DP train step over `mesh`.
 
@@ -175,6 +276,15 @@ def make_train_step(
         aux = jax.lax.pmean(aux, DATA_AXIS)
         new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
         new_state = state.apply_gradients(grads=grads, new_batch_stats=new_stats)
+        if state.ema_params is not None:  # static: EMA enabled at state creation
+            from yolopoint_tpu.training.ema import ema_update
+
+            new_state = new_state.replace(
+                ema_params=ema_update(
+                    new_state.ema_params, new_state.params, new_state.step,
+                    decay=ema_decay, tau=ema_tau,
+                )
+            )
         return new_state, aux
 
     state_spec = P()  # replicated
