@@ -73,24 +73,35 @@ def bench_throughput(batch: int = BATCH, iters: int = 20, warmup: int = 3) -> fl
     return batch * iters / dt
 
 
-def bench_batch1_latency(iters: int = 50, warmup: int = 5) -> float:
-    """Median single-frame latency in ms (upload -> full decode -> ready)."""
+def _median_program_ms(fn, args, chunks: int = 6, per_chunk: int = 10) -> float:
+    """Median per-program device time: dispatch `per_chunk` dependent-free
+    calls back-to-back and sync once per chunk. (Per-call sync would measure
+    the dev-tunnel round trip — ~30 ms here — instead of the program.)"""
     import jax
+
+    jax.block_until_ready(fn(*args))
+    jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(chunks):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(per_chunk):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / per_chunk)
+    return float(np.median(times) * 1e3)
+
+
+def bench_batch1_latency() -> float:
+    """Median single-frame program latency in ms (forward + full decode)."""
     import jax.numpy as jnp
 
     pipe = _build_pipeline(1)
     img = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 640, 640, 3)), jnp.float32)
-    for _ in range(warmup):
-        jax.block_until_ready(pipe(img))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(pipe(img))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times) * 1e3)
+    return _median_program_ms(pipe, (img,))
 
 
-def bench_kpt_nms_match(iters: int = 50, warmup: int = 5) -> float:
+def bench_kpt_nms_match() -> float:
     """p50 latency of the keypoint post-processing chain on device: heatmap
     NMS + top-k extraction for two frames + descriptor sampling + mutual-NN
     matching (the `kpt NMS + match` secondary metric, BASELINE.md)."""
@@ -118,14 +129,7 @@ def bench_kpt_nms_match(iters: int = 50, warmup: int = 5) -> float:
     heat_b = jnp.asarray(rng.uniform(0, 0.2, (1, H, W)), jnp.float32)
     desc_a = jnp.asarray(rng.normal(size=(1, H // 8, W // 8, D)), jnp.float32)
     desc_b = jnp.asarray(rng.normal(size=(1, H // 8, W // 8, D)), jnp.float32)
-    for _ in range(warmup):
-        jax.block_until_ready(chain(heat_a, heat_b, desc_a, desc_b))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(chain(heat_a, heat_b, desc_a, desc_b))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times) * 1e3)
+    return _median_program_ms(chain, (heat_a, heat_b, desc_a, desc_b))
 
 
 def measure_torch_cpu(iters: int = 3) -> float:
@@ -154,14 +158,31 @@ def measure_torch_cpu(iters: int = 3) -> float:
     return iters / dt
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: re-runs skip the ~1 min/pipeline
+    compiles."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/yolopoint_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 if __name__ == "__main__":
     if "--measure-torch" in sys.argv:
         ips = measure_torch_cpu()
         print(f"torch-cpu: {ips:.3f} img/s")
         sys.exit(0)
-    value = bench_throughput()
-    batch1_ms = bench_batch1_latency()
+    _enable_compile_cache()
+    # order matters: the big-model programs leave device/allocator state that
+    # inflates later small-program timings, so measure the post-processing
+    # chain first, the batch-1 pipeline second, bulk throughput last (the
+    # pipelined B=32 loop is insensitive to it)
     kpt_ms = bench_kpt_nms_match()
+    batch1_ms = bench_batch1_latency()
+    value = bench_throughput()
     print(json.dumps({
         "metric": "yolopoint_s_640_inference",
         "value": round(value, 2),

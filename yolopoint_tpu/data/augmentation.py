@@ -8,14 +8,24 @@ Re-design of the reference's per-sample CPU augmentation
 * warps keypoints (fixed-shape `(N, 2)` + mask) and rasterizes label maps,
 * warps box labels corner-wise with `box_candidates` filtering as a mask
   (`/root/reference/src/utils/augmentations_yolo.py:59-64`),
-* optionally composes with photometric augmentation.
+* composes with photometric augmentation (light pass for the pair base +
+  full pass for the base view, `DataClasses.py:211-218`).
+
+Crop-aware training (KITTI `cropHW`, mosaic) follows the reference
+`homography_big` chain (`/root/reference/src/utils/homographies.py:129-143`):
+the homography is sampled in the CROP's normalized frame, conjugated into the
+full frame (`crop_conjugate_homography`), applied to the FULL image, and the
+result is cropped — so content outside the crop flows in under the warp
+instead of zero borders. The warped pair composes the two homographies and
+warps the original image ONCE (`DataClasses.py:383-401`), avoiding double
+resampling.
 
 Everything is fixed-shape; "dropped" points/boxes just get mask=False.
 """
 
 from __future__ import annotations
 
-from typing import Any, Mapping, NamedTuple
+from typing import Any, Mapping, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +41,8 @@ from yolopoint_tpu.ops.geometry import (
     warp_points,
 )
 from yolopoint_tpu.ops.homography import sample_homography_batch
+
+HI = jax.lax.Precision.HIGHEST
 
 
 class AugmentedView(NamedTuple):
@@ -67,18 +79,68 @@ def box_candidates_mask(
     )
 
 
-def _warp_boxes(
-    boxes: jax.Array,
+def crop_conjugate_homography(
+    homography: jax.Array,
+    crop_yx: jax.Array,
+    crop_hw: tuple[int, int],
+    full_hw: tuple[int, int],
+) -> jax.Array:
+    """Express a crop-frame normalized homography in full-frame normalized
+    coords: `C @ H @ C^-1` where C maps the crop's [-1,1]^2 onto the crop
+    rectangle inside the full frame.
+
+    This is the closed form of the reference's 4-point `homography_big`
+    construction (`/root/reference/src/utils/homographies.py:129-143`).
+
+    Args:
+      homography: `(B, 3, 3)` crop-frame homographies.
+      crop_yx: `(B, 2)` crop top-left `(y, x)` in full-frame pixels.
+      crop_hw: static crop `(h, w)`.
+      full_hw: static full-frame `(H, W)`.
+    """
+    hc, wc = crop_hw
+    Hf, Wf = full_hw
+    B = homography.shape[0]
+    y0 = crop_yx[..., 0].astype(jnp.float32)
+    x0 = crop_yx[..., 1].astype(jnp.float32)
+    ax = wc / Wf
+    ay = hc / Hf
+    bx = (2.0 * x0 + wc) / Wf - 1.0
+    by = (2.0 * y0 + hc) / Hf - 1.0
+    zeros = jnp.zeros_like(x0)
+    ones = jnp.ones_like(x0)
+    C = jnp.stack([
+        jnp.stack([jnp.full_like(x0, ax), zeros, bx], -1),
+        jnp.stack([zeros, jnp.full_like(x0, ay), by], -1),
+        jnp.stack([zeros, zeros, ones], -1),
+    ], axis=-2)  # (B, 3, 3)
+    C_inv = jnp.linalg.inv(C)
+    return jnp.matmul(jnp.matmul(C, homography, precision=HI), C_inv, precision=HI)
+
+
+def _crop_images(images: jax.Array, crop_yx: jax.Array, crop_hw: tuple[int, int]) -> jax.Array:
+    """Per-sample static-size crops via dynamic_slice."""
+    hc, wc = crop_hw
+
+    def one(img, yx):
+        return jax.lax.dynamic_slice(
+            img, (yx[0].astype(jnp.int32), yx[1].astype(jnp.int32), 0),
+            (hc, wc, img.shape[-1]),
+        )
+
+    return jax.vmap(one)(images, crop_yx)
+
+
+def _warp_boxes_pix(
+    xyxy: jax.Array,
     box_mask: jax.Array,
     inv_h_pix: jax.Array,
     height: int,
     width: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Warp normalized xywh boxes corner-wise (reference warps the two xyxy
-    corner points through the pixel-space inverse homography,
-    `DataClasses.py:358-366` via `_homographic_augmentation` labels path)."""
-    cls = boxes[..., 0:1]
-    xyxy = xywhn2xyxy(boxes[..., 1:5], width, height)  # (B, M, 4)
+    """Warp pixel xyxy boxes corner-wise through the pixel-space inverse
+    homography (the reference warps the two xyxy corner points,
+    `DataClasses.py:358-366`), clip, and box_candidates-filter."""
     tl = xyxy[..., 0:2]
     br = xyxy[..., 2:4]
     tl_w = jax.vmap(warp_points)(tl, inv_h_pix)
@@ -86,8 +148,7 @@ def _warp_boxes(
     new_xyxy = jnp.concatenate([tl_w, br_w], axis=-1)
     clipped = clip_boxes(new_xyxy, (height, width))
     keep = box_candidates_mask(clipped, new_xyxy) & box_mask
-    new_boxes = jnp.concatenate([cls, xyxy2xywhn(clipped, width, height, clip=False)], axis=-1)
-    return new_boxes, keep
+    return clipped, keep
 
 
 def flip_augment(
@@ -97,12 +158,15 @@ def flip_augment(
     boxes: jax.Array,
     horizontal: float = 0.0,
     vertical: float = 0.0,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    crop_yx: Optional[jax.Array] = None,
+    crop_hw: Optional[tuple[int, int]] = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, Optional[jax.Array]]:
     """Per-image random horizontal/vertical flips of image + points + boxes.
 
     Parity: `flip` `/root/reference/src/utils/homographies.py:149-179`
     (config `augmentation.homographic.flipping`, applied train-only). Boxes
-    are normalized xywh so a flip just mirrors cx/cy.
+    are normalized xywh so a flip just mirrors cx/cy. In crop mode the crop
+    offsets are mirrored with the frame.
     """
     B, H, W, _ = images.shape
     kh, kv = jax.random.split(key)
@@ -121,11 +185,17 @@ def flip_augment(
     new_boxes = jnp.concatenate(
         [boxes[..., 0:1], bx[..., None], by[..., None], boxes[..., 3:5]], axis=-1
     )
-    return img_hv, new_points, new_boxes
+    new_crop = crop_yx
+    if crop_yx is not None and crop_hw is not None:
+        hc, wc = crop_hw
+        cy = jnp.where(do_v, H - crop_yx[..., 0] - hc, crop_yx[..., 0])
+        cx = jnp.where(do_h, W - crop_yx[..., 1] - wc, crop_yx[..., 1])
+        new_crop = jnp.stack([cy, cx], axis=-1)
+    return img_hv, new_points, new_boxes, new_crop
 
 
 def homographic_augment(
-    key: jax.Array,
+    key: Optional[jax.Array],
     images: jax.Array,
     points: jax.Array,
     point_mask: jax.Array,
@@ -134,34 +204,78 @@ def homographic_augment(
     hom_params: Mapping[str, Any] | None = None,
     valid_border_margin: int = 0,
     pad: tuple[int, int, int, int] = (0, 0, 0, 0),
+    homography: Optional[jax.Array] = None,
+    crop_yx: Optional[jax.Array] = None,
+    crop_hw: Optional[tuple[int, int]] = None,
+    valid_src: Optional[jax.Array] = None,
 ) -> AugmentedView:
-    """Sample per-image homographies and produce the warped view.
+    """Produce one warped view from per-image homographies.
 
     Args:
-      images: `(B, H, W, C)` float batch.
-      points: `(B, N, 2)` keypoint labels (pixel coords) + mask.
-      boxes: `(B, M, 5)` `[cls, cx, cy, w, h]` normalized + mask.
-      hom_params: `data.augmentation.homographic.params` of the YAML schema.
+      images: `(B, H, W, C)` float batch — the FULL frame in crop mode.
+      points: `(B, N, 2)` keypoint labels (full-frame pixel coords) + mask.
+      boxes: `(B, M, 5)` `[cls, cx, cy, w, h]` normalized to the full frame.
+      hom_params: `data.augmentation.homographic.params` of the YAML schema
+        (ignored when `homography` is given).
       valid_border_margin: erosion radius for the valid mask.
       pad: letterbox padding excluded from the valid region.
+      homography: optional `(B, 3, 3)` precomputed crop-frame homographies
+        (e.g. a composed base∘pair chain).
+      crop_yx / crop_hw: crop-aware mode — homographies act in the crop's
+        normalized frame but warp the full image via
+        `crop_conjugate_homography` before cropping (reference
+        `homography_big`, `homographies.py:129-143`).
+      valid_src: optional full-frame `(B, H, W)` validity to warp (nearest)
+        instead of synthesizing an all-ones mask (the mosaic canvas mask,
+        `DataClasses.py:318-334`).
     """
-    B, H, W, _ = images.shape
-    params = dict(hom_params or {})
-    homography = sample_homography_batch(key, B, **params)
+    B, Hf, Wf, _ = images.shape
+    if homography is None:
+        params = dict(hom_params or {})
+        homography = sample_homography_batch(key, B, **params)
     inv_homography = jnp.linalg.inv(homography)
 
-    warped_image = warp_image(images, homography)
-    valid_mask = compute_valid_mask((H, W), homography, valid_border_margin, pad)
+    if crop_yx is not None:
+        assert crop_hw is not None, "crop_hw must be static when crop_yx is given"
+        Hc, Wc = crop_hw
+        hom_big = crop_conjugate_homography(homography, crop_yx, crop_hw, (Hf, Wf))
+        warped_image = _crop_images(warp_image(images, hom_big), crop_yx, crop_hw)
+        if valid_src is not None:
+            vm = warp_image(valid_src[..., None], hom_big, mode="nearest")[..., 0]
+            valid_mask = _crop_images(vm[..., None], crop_yx, crop_hw)[..., 0]
+            valid_mask = valid_mask.at[:, :1].set(0).at[:, -1:].set(0)
+            valid_mask = valid_mask.at[:, :, :1].set(0).at[:, :, -1:].set(0)
+        else:
+            vm = compute_valid_mask((Hf, Wf), hom_big, valid_border_margin, pad)
+            valid_mask = _crop_images(vm[..., None], crop_yx, crop_hw)[..., 0]
+        offset = crop_yx[:, None, ::-1].astype(jnp.float32)  # (B, 1, 2) (x, y)
+        pts = jnp.floor(points) - offset
+        box_xyxy = xywhn2xyxy(boxes[..., 1:5], Wf, Hf) - jnp.concatenate(
+            [offset, offset], axis=-1
+        )
+    else:
+        Hc, Wc = Hf, Wf
+        warped_image = warp_image(images, homography)
+        if valid_src is not None:
+            vm = warp_image(valid_src[..., None], homography, mode="nearest")[..., 0]
+            valid_mask = vm.at[:, :1].set(0).at[:, -1:].set(0)
+            valid_mask = valid_mask.at[:, :, :1].set(0).at[:, :, -1:].set(0)
+        else:
+            valid_mask = compute_valid_mask((Hf, Wf), homography, valid_border_margin, pad)
+        pts = jnp.floor(points)
+        box_xyxy = xywhn2xyxy(boxes[..., 1:5], Wf, Hf)
 
-    # points warp with the INVERSE homography in pixel coords
+    # points warp with the INVERSE homography in (crop-frame) pixel coords
     # (reference warpLabels, utils.py:429-441)
-    inv_pix = jax.vmap(lambda h: homography_scaling(h, H, W))(inv_homography)
-    pts = jnp.floor(points)
+    inv_pix = jax.vmap(lambda h: homography_scaling(h, Hc, Wc))(inv_homography)
     warped_pts = jax.vmap(warp_points)(pts, inv_pix)
-    pmask = point_mask & jax.vmap(lambda p: filter_points_mask(p, (W, H)))(warped_pts)
-    labels_2d = jax.vmap(lambda p, m: points_to_label_map(p, m, H, W))(warped_pts, pmask)
+    pmask = point_mask & jax.vmap(lambda p: filter_points_mask(p, (Wc, Hc)))(warped_pts)
+    labels_2d = jax.vmap(lambda p, m: points_to_label_map(p, m, Hc, Wc))(warped_pts, pmask)
 
-    new_boxes, new_box_mask = _warp_boxes(boxes, box_mask, inv_pix, H, W)
+    new_xyxy, new_box_mask = _warp_boxes_pix(box_xyxy, box_mask, inv_pix, Hc, Wc)
+    new_boxes = jnp.concatenate(
+        [boxes[..., 0:1], xyxy2xywhn(new_xyxy, Wc, Hc, clip=False)], axis=-1
+    )
 
     return AugmentedView(
         image=warped_image,
@@ -176,6 +290,41 @@ def homographic_augment(
     )
 
 
+def _identity_view(
+    images, points, point_mask, boxes, box_mask, crop_yx, crop_hw,
+) -> AugmentedView:
+    """Un-warped view (identity homography), honoring crop mode."""
+    B, Hf, Wf, _ = images.shape
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+    if crop_yx is not None:
+        return homographic_augment(
+            None, images, points, point_mask, boxes, box_mask,
+            homography=eye, crop_yx=crop_yx, crop_hw=crop_hw,
+        )
+    labels_2d = jax.vmap(lambda p, m: points_to_label_map(p, m, Hf, Wf))(
+        jnp.floor(points), point_mask
+    )
+    ones = jnp.zeros((B, Hf, Wf), jnp.float32).at[:, 1:-1, 1:-1].set(1.0)
+    pmask = point_mask & jax.vmap(
+        lambda p: filter_points_mask(p, (Wf, Hf))
+    )(points)
+    return AugmentedView(images, labels_2d, ones, points, pmask,
+                         boxes, box_mask, eye, eye)
+
+
+def mosaic_canvas_mask(full_hw: tuple[int, int], border: int = 2) -> jax.Array:
+    """Validity mask of a 2x2 equal-tile mosaic canvas: `border`-px zeros
+    around each tile (the reference zeroes tile borders when composing,
+    `DataClasses.py:625,648` `_remove_borders(bm=2)`)."""
+    Hf, Wf = full_hw
+    m = jnp.ones((Hf, Wf), jnp.float32)
+    for y in (0, Hf // 2, Hf):
+        m = m.at[max(y - border, 0):min(y + border, Hf)].set(0.0)
+    for x in (0, Wf // 2, Wf):
+        m = m.at[:, max(x - border, 0):min(x + border, Wf)].set(0.0)
+    return m
+
+
 def build_training_views(
     key: jax.Array,
     images: jax.Array,
@@ -184,57 +333,104 @@ def build_training_views(
     boxes: jax.Array,
     box_mask: jax.Array,
     config: Mapping[str, Any],
+    crop_yx: Optional[jax.Array] = None,
+    mosaic: bool = False,
 ) -> tuple[AugmentedView, AugmentedView]:
     """Produce the (base, warped) training pair from raw host batches.
 
-    Mirrors the reference's per-sample flow (photometric -> homographic aug of
-    the base image -> second homography for the warped pair with its own
-    photometric pass, `DataClasses.py:159-454`) but batched on device. The
-    base view may be un-warped (identity) when homographic aug is disabled.
+    Mirrors the reference's per-sample flow batched on device
+    (`DataClasses.py:159-454`):
+      * light photometric -> pair base; light+full photometric -> base image
+        (`:211-218`)
+      * homographic aug of the base image (H1), crop-aware when `crop_yx`
+        batches are provided (KITTI `cropHW` / mosaic center crop)
+      * warped pair: second homography H2 sampled, the ORIGINAL (lightly
+        augmented) image warped once by H1∘H2 (`_get_warped_pair:383-401`);
+        the stored pair homography is H2 — it links base <-> warped
+      * the pair's valid mask is the base mask warped by H2 (`:417-424`)
+      * its own photometric pass on the warped image (`:403-405`).
 
-    `config` is the `data.augmentation` YAML subtree.
+    `config` is the `data.augmentation` YAML subtree. In crop/mosaic mode
+    `images` is the full frame and `crop_hw` comes from
+    `homographic.cropHW` (mosaic: full frame is 2x the output, center crop).
     """
-    B, H, W, _ = images.shape
-    k_ph1, k_ph2, k_hom1, k_hom2, k_flip = jax.random.split(key, 5)
+    B, Hf, Wf, _ = images.shape
+    k_ph_light, k_ph1, k_ph2, k_hom1, k_hom2, k_flip = jax.random.split(key, 6)
 
     phot_cfg = (config.get("photometric") or {})
     phot_params = phot_cfg.get("params") or {}
+    phot_light = phot_cfg.get("params_light")
     phot_enabled = bool(phot_cfg.get("enable", False))
 
     hom_cfg = (config.get("homographic") or {})
     hom_params = hom_cfg.get("params") or {}
     hom_enabled = bool(hom_cfg.get("enable", False))
     margin = int(hom_cfg.get("valid_border_margin", 0))
+    if mosaic and (mcfg := hom_cfg.get("mosaic")):
+        hom_params = mcfg.get("params") or hom_params
+
+    crop_hw = None
+    if crop_yx is not None:
+        if mosaic:
+            crop_hw = (Hf // 2, Wf // 2)
+        else:
+            crop_hw = tuple(hom_cfg.get("cropHW") or (Hf, Wf))
 
     if flipping := hom_cfg.get("flipping"):
-        images, points, boxes = flip_augment(
+        images, points, boxes, crop_yx = flip_augment(
             k_flip, images, points, boxes,
             horizontal=float(flipping.get("horizontal", 0.0)),
             vertical=float(flipping.get("vertical", 0.0)),
+            crop_yx=crop_yx, crop_hw=crop_hw,
         )
 
-    base_img = photometric_augment(k_ph1, images, phot_params) if phot_enabled else images
+    # reference photometric stack: pair base gets the light pass, base view
+    # gets light + full (DataClasses.py:211-218)
+    if phot_enabled:
+        pair_img = photometric_augment(k_ph_light, images, phot_light or {}) \
+            if phot_light is not None else images
+        base_img = photometric_augment(k_ph1, pair_img, phot_params)
+    else:
+        pair_img = base_img = images
 
-    if hom_enabled:
+    valid_src = None
+    if mosaic:
+        valid_src = jnp.broadcast_to(mosaic_canvas_mask((Hf, Wf)), (B, Hf, Wf))
+
+    if hom_enabled or mosaic:
+        h1 = sample_homography_batch(k_hom1, B, **hom_params)
         base = homographic_augment(
-            k_hom1, base_img, points, point_mask, boxes, box_mask, hom_params, margin
+            None, base_img, points, point_mask, boxes, box_mask,
+            valid_border_margin=margin, homography=h1,
+            crop_yx=crop_yx, crop_hw=crop_hw, valid_src=valid_src,
         )
     else:
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
-        labels_2d = jax.vmap(lambda p, m: points_to_label_map(p, m, H, W))(
-            jnp.floor(points), point_mask
-        )
-        ones = jnp.zeros((B, H, W), jnp.float32).at[:, 1:-1, 1:-1].set(1.0)
-        base = AugmentedView(base_img, labels_2d, ones, points, point_mask,
-                             boxes, box_mask, eye, eye)
+        h1 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+        base = _identity_view(base_img, points, point_mask, boxes, box_mask,
+                              crop_yx, crop_hw)
 
-    # warped pair: second homography applied to the base view
+    # warped pair: sample H2 in the (crop-frame) normalized coords, compose
+    # with H1 and warp the lightly-augmented ORIGINAL image once
     warp_cfg = (config.get("warped_pair") or {})
     warp_params = warp_cfg.get("params") or hom_params
+    if mosaic and (wm := warp_cfg.get("mosaic_params")):
+        warp_params = wm
+    h2 = sample_homography_batch(k_hom2, B, **warp_params)
+    h12 = jnp.matmul(h1, h2, precision=HI)
     warped = homographic_augment(
-        k_hom2, base.image, base.points, base.point_mask, base.boxes, base.box_mask,
-        warp_params, int(warp_cfg.get("valid_border_margin", margin)),
+        None, pair_img, points, point_mask, boxes, box_mask,
+        valid_border_margin=int(warp_cfg.get("valid_border_margin", margin)),
+        homography=h12, crop_yx=crop_yx, crop_hw=crop_hw, valid_src=valid_src,
+    )
+    # the pair's valid mask is the BASE mask warped by H2 (reference
+    # `_get_warped_pair:417-424`), and the stored homography is H2
+    pair_mask = warp_image(base.valid_mask[..., None], h2, mode="nearest")[..., 0]
+    warped = warped._replace(
+        valid_mask=pair_mask,
+        homography=h2,
+        inv_homography=jnp.linalg.inv(h2),
     )
     if phot_enabled:
-        warped = warped._replace(image=photometric_augment(k_ph2, warped.image, phot_params))
+        pair_phot = (warp_cfg.get("photometric") or {}).get("params") or phot_params
+        warped = warped._replace(image=photometric_augment(k_ph2, warped.image, pair_phot))
     return base, warped

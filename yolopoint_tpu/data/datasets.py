@@ -64,7 +64,9 @@ def letterbox(
     dw /= 2
     dh /= 2
     if shape[::-1] != new_unpad:
-        img = cv2.resize(img, new_unpad, interpolation=cv2.INTER_LINEAR)
+        from yolopoint_tpu.data.native import resize_u8
+
+        img = resize_u8(img, new_unpad[1], new_unpad[0], mode="bilinear")
     top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
     left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
     img = cv2.copyMakeBorder(
@@ -117,10 +119,22 @@ class ImagePointBoxDataset:
         self.action = "train" if "train" in action and not debug else "val"
         self.img_size = int(config["preprocessing"]["img_size"])
         self.names = list(names)
-        self.mosaic_prob = float((config.get("augmentation") or {}).get("mosaic") or 0.0)
-        crop = ((config.get("augmentation") or {}).get("homographic") or {}).get("cropHW")
+        aug = config.get("augmentation") or {}
+        self.mosaic_prob = float(aug.get("mosaic") or 0.0)
+        hom = aug.get("homographic") or {}
+        crop = hom.get("cropHW")
         self.crop_hw = tuple(crop) if crop else None
+        # device_crop: emit the FULL resized frame + a crop corner and let the
+        # on-device augmentation apply the crop through the homography_big
+        # chain (reference `homographies.py:129-143`); False = crop host-side
+        self.device_crop = bool(hom.get("device_crop", True)) and self.crop_hw is not None
+        self._big_hw: Optional[tuple[int, int]] = None
         self.inp_ch = int(config.get("input_channels", 3))
+        # RAM image cache + parsed-label cache (reference
+        # `DataClasses.py:114-125` image cache, `:583-596` label pickle cache)
+        self.cache_images = bool(config.get("cache_images", False))
+        self._img_cache: dict[int, np.ndarray] = {}
+        self._label_cache: dict[int, np.ndarray] = {}
         try:
             self.dc_idx = next(
                 i for i, s in enumerate(self.names) if s.lower() == "dontcare"
@@ -161,18 +175,93 @@ class ImagePointBoxDataset:
         return len(self.img_paths)
 
     def _load_raw(self, idx: int):
-        img = _imread(self.img_paths[idx], self.inp_ch)
-        boxes = np.zeros((0, 5), np.float32)
-        if self.label_dir is not None:
-            boxes = load_yolo_boxes(self.label_dir / (Path(self.img_paths[idx]).stem + ".txt"))
-        if self.remove_dontcare and self.dc_idx is not None and len(boxes):
-            boxes = boxes[boxes[:, 0] != self.dc_idx]
+        if self.cache_images and idx in self._img_cache:
+            img = self._img_cache[idx]
+        else:
+            img = _imread(self.img_paths[idx], self.inp_ch)
+            if self.cache_images:
+                self._img_cache[idx] = img
+        if idx in self._label_cache:
+            boxes = self._label_cache[idx]
+        else:
+            boxes = np.zeros((0, 5), np.float32)
+            if self.label_dir is not None:
+                boxes = load_yolo_boxes(self.label_dir / (Path(self.img_paths[idx]).stem + ".txt"))
+            if self.remove_dontcare and self.dc_idx is not None and len(boxes):
+                boxes = boxes[boxes[:, 0] != self.dc_idx]
+            self._label_cache[idx] = boxes
         points = load_points_npz(self.point_paths[idx])
-        return img, boxes, points[:, :2] if points.size else np.zeros((0, 2), np.float32)
+        return img.copy() if self.cache_images else img, boxes.copy(), \
+            points[:, :2] if points.size else np.zeros((0, 2), np.float32)
+
+    def _resize_full(self, img: np.ndarray) -> np.ndarray:
+        """Export-mode resize: longer side to img_size, pad bottom/right to a
+        static /32 canvas (no crop, no letterbox centering) — the full-frame
+        input of homographic adaptation (`loader.py:73-136` export action)."""
+        from yolopoint_tpu.data.native import resize_u8
+
+        h0, w0 = img.shape[:2]
+        r = self.img_size / max(h0, w0)
+        if r != 1.0:
+            img = resize_u8(img, int(round(h0 * r)), int(round(w0 * r)))
+        h, w = img.shape[:2]
+        if self._big_hw is None:
+            self._big_hw = (-(-h // 32) * 32, -(-w // 32) * 32)
+        Hb, Wb = self._big_hw
+        canvas = np.full((Hb, Wb, img.shape[2]), 114, img.dtype)
+        canvas[:min(h, Hb), :min(w, Wb)] = img[:min(h, Hb), :min(w, Wb)]
+        return canvas
+
+    def iter_export(self):
+        """Yield `(name, float image)` pairs for pseudo-label export
+        (the reference loader's export action,
+        `/root/reference/src/utils/loader.py:73-136`)."""
+        for idx in range(len(self)):
+            img, _, _ = self._load_raw(idx)
+            yield Path(self.img_paths[idx]).stem, \
+                self._resize_full(img).astype(np.float32) / 255.0
+
+    def _resize_big(self, img, boxes, points):
+        """Device-crop path: resize so the longer side is `img_size`, pad
+        bottom/right to a static full-frame shape, and sample the crop corner
+        — the warp+crop itself runs on device (`data.augmentation`,
+        reference `homography_big` chain)."""
+        from yolopoint_tpu.data.native import resize_u8
+
+        h0, w0 = img.shape[:2]
+        r = self.img_size / max(h0, w0)
+        if r != 1.0:
+            img = resize_u8(img, int(round(h0 * r)), int(round(w0 * r)))
+        h, w = img.shape[:2]
+        if self._big_hw is None:
+            # static full-frame canvas: first sample rounded up to /32
+            self._big_hw = (-(-h // 32) * 32, -(-w // 32) * 32)
+        Hb, Wb = self._big_hw
+        canvas = np.full((Hb, Wb, img.shape[2]), 114, img.dtype)
+        h, w = min(h, Hb), min(w, Wb)
+        canvas[:h, :w] = img[:h, :w]
+        ch, cw = self.crop_hw
+        ch, cw = min(ch, h), min(cw, w)
+        if self.action == "val":
+            y, x = (h - ch) // 2, (w - cw) // 2
+        else:
+            y = np.random.randint(0, h - ch + 1)
+            x = np.random.randint(0, w - cw + 1)
+        if len(points):
+            points = points * r
+        if len(boxes):
+            # renormalize cxcywh from the original frame to the padded canvas
+            b = boxes.copy()
+            b[:, 1] = boxes[:, 1] * w0 * r / Wb
+            b[:, 2] = boxes[:, 2] * h0 * r / Hb
+            b[:, 3] = boxes[:, 3] * w0 * r / Wb
+            b[:, 4] = boxes[:, 4] * h0 * r / Hb
+            boxes = b
+        return canvas, boxes, points, (0, 0, 0, 0), np.array([y, x], np.float32)
 
     def _resize(self, img, boxes, points):
         """Letterbox (COCO) or fixed crop (KITTI) to a static shape."""
-        import cv2
+        from yolopoint_tpu.data.native import resize_u8
 
         h0, w0 = img.shape[:2]
         if self.crop_hw:
@@ -180,8 +269,7 @@ class ImagePointBoxDataset:
             # 960 then crop cropHW), then random/center crop
             r = self.img_size / max(h0, w0)
             if r != 1.0:
-                img = cv2.resize(img, (int(round(w0 * r)), int(round(h0 * r))),
-                                 interpolation=cv2.INTER_AREA if r < 1 else cv2.INTER_LINEAR)
+                img = resize_u8(img, int(round(h0 * r)), int(round(w0 * r)))
             h, w = img.shape[:2]
             ch, cw = self.crop_hw
             ch, cw = min(ch, h), min(cw, w)
@@ -233,49 +321,67 @@ class ImagePointBoxDataset:
         return img, boxes, points, pad
 
     def _mosaic(self, idx: int):
-        """4-tile mosaic composition (host-side; the homographic warp of the
-        composed mosaic happens on device). Reference `_mosaic_augmentation`
-        `/root/reference/src/datasets/DataClasses.py:611-729`."""
+        """4-tile mosaic at FULL tile resolution: compose a 2x(H, W) canvas
+        from four final-size samples; the homographic warp of the canvas and
+        the center (H, W) crop happen ON DEVICE through the homography_big
+        chain. Reference `_mosaic_augmentation`
+        `/root/reference/src/datasets/DataClasses.py:611-729` (equal-size
+        tiles around the canvas center + top=H/2, left=W/2 crop)."""
         idxs = [idx] + list(np.random.randint(0, len(self), 3))
-        tiles, all_boxes, all_points = [], [], []
-        s = self.img_size // 2
+        np.random.shuffle(idxs)
+        all_boxes, all_points = [], []
         canvas = None
+        th = tw = None
         for i, ti in enumerate(idxs):
             img, boxes, points, _ = self._resize(*self._load_raw(ti))
-            import cv2
-
-            tile = cv2.resize(img, (s, s), interpolation=cv2.INTER_AREA)
-            scale = np.array([s / img.shape[1], s / img.shape[0]], np.float32)
-            oy, ox = (i // 2) * s, (i % 2) * s
             if canvas is None:
-                canvas = np.full((2 * s, 2 * s, img.shape[2]), 114, img.dtype)
-            canvas[oy:oy + s, ox:ox + s] = tile
+                th, tw = img.shape[:2]
+                canvas = np.full((2 * th, 2 * tw, img.shape[2]), 114, img.dtype)
+            oy, ox = (i // 2) * th, (i % 2) * tw
+            canvas[oy:oy + th, ox:ox + tw] = img[:th, :tw]
             if len(points):
-                all_points.append(points * scale + np.array([ox, oy], np.float32))
+                all_points.append(points + np.array([ox, oy], np.float32))
             if len(boxes):
                 b = boxes.copy()
-                b[:, 1] = (boxes[:, 1] * s + ox) / (2 * s)
-                b[:, 2] = (boxes[:, 2] * s + oy) / (2 * s)
+                b[:, 1] = (boxes[:, 1] * tw + ox) / (2 * tw)
+                b[:, 2] = (boxes[:, 2] * th + oy) / (2 * th)
                 b[:, 3] = boxes[:, 3] / 2
                 b[:, 4] = boxes[:, 4] / 2
                 all_boxes.append(b)
         points = np.concatenate(all_points) if all_points else np.zeros((0, 2), np.float32)
         boxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 5), np.float32)
-        return canvas, boxes, points, (0, 0, 0, 0)
+        # center crop corner (reference: top=sy//2, left=sx//2)
+        crop_yx = np.array([th // 2, tw // 2], np.float32)
+        return canvas, boxes, points, (0, 0, 0, 0), crop_yx
 
-    def get(self, idx: int) -> dict[str, Any]:
-        """One decoded, statically-shaped sample (augmentation-free)."""
-        if self.action == "train" and self.mosaic_prob and np.random.random() < self.mosaic_prob:
-            img, boxes, points, pad = self._mosaic(idx)
+    def get(self, idx: int, mosaic: Optional[bool] = None) -> dict[str, Any]:
+        """One decoded, statically-shaped sample (device augmentation-free).
+
+        `mosaic` overrides the per-sample Bernoulli (the loader decides
+        per BATCH so shapes stay static under jit). Crop-aware samples carry
+        a `crop_yx` / `mosaic_crop_yx` corner for the device warp+crop."""
+        if mosaic is None:
+            mosaic = (self.action == "train" and self.mosaic_prob
+                      and np.random.random() < self.mosaic_prob)
+        if mosaic:
+            img, boxes, points, pad, crop_yx = self._mosaic(idx)
+            crop_key = "mosaic_crop_yx"
+        elif self.device_crop and self.action != "export":
+            img, boxes, points, pad, crop_yx = self._resize_big(*self._load_raw(idx))
+            crop_key = "crop_yx"
         else:
             img, boxes, points, pad = self._resize(*self._load_raw(idx))
-        return {
+            crop_yx, crop_key = None, None
+        sample = {
             "image": img.astype(np.float32) / 255.0,
             "boxes": boxes,
             "points": points,
             "pad": pad,
             "name": Path(self.img_paths[idx]).stem,
         }
+        if crop_yx is not None:
+            sample[crop_key] = crop_yx
+        return sample
 
 
 class Coco(ImagePointBoxDataset):

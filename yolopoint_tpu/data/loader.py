@@ -1,20 +1,23 @@
 """Batching loader: weighted multi-dataset sampling + fixed-shape collate +
-background prefetch.
+parallel decode workers with batch prefetch.
 
 Re-design of `/root/reference/src/utils/loader.py:25-178`:
 * `WeightedRandomSampler` with length-normalized weights over concatenated
   datasets (`get_weights` `:60-71`) -> numpy choice with the same weights.
 * the ragged `custom_collate_fn` (`:40-58`) -> PADDED `(B, max_points, 2)` /
   `(B, max_boxes, 5)` arrays + boolean masks (fixed shapes for jit).
-* torch DataLoader worker processes -> a double-buffered background thread
-  (decoding is cheap since augmentation moved on-device); the C++ decode
-  path can slot in underneath later without API changes.
+* torch DataLoader worker processes -> a thread pool decoding samples in
+  parallel (cv2 / the native C++ resize release the GIL) with `prefetch`
+  batches in flight — augmentation itself runs on device.
+* mosaic is decided per BATCH (not per sample like the reference) so every
+  batch keeps one static image shape for jit; the mosaic rate still matches
+  `augmentation.mosaic`.
 """
 
 from __future__ import annotations
 
-import queue
-import threading
+import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Iterator, Optional, Sequence
 
 import numpy as np
@@ -42,6 +45,9 @@ def pad_collate(
         "boxes": np.zeros((B, max_boxes, 5), np.float32),
         "box_mask": np.zeros((B, max_boxes), bool),
     }
+    crop_key = next((k for k in ("crop_yx", "mosaic_crop_yx") if k in samples[0]), None)
+    if crop_key:
+        batch[crop_key] = np.zeros((B, 2), np.float32)
     names = []
     for i, s in enumerate(samples):
         batch["image"][i] = s["image"]
@@ -51,6 +57,8 @@ def pad_collate(
         boxes = np.asarray(s.get("boxes", np.zeros((0, 5))))[:max_boxes]
         batch["boxes"][i, : len(boxes)] = boxes
         batch["box_mask"][i, : len(boxes)] = True
+        if crop_key:
+            batch[crop_key][i] = s[crop_key]
         names.append(s.get("name", str(i)))
     batch["names"] = names
     return batch
@@ -69,6 +77,7 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         steps_per_epoch: Optional[int] = None,
+        num_workers: Optional[int] = None,
     ):
         self.datasets = list(datasets)
         self.sizes = [len(d) for d in self.datasets]
@@ -79,16 +88,22 @@ class DataLoader:
         self.max_boxes = max_boxes
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        self.num_workers = num_workers or min(max((os.cpu_count() or 4) - 2, 2), 16)
         self.steps_per_epoch = steps_per_epoch or max(self.total // batch_size, 1)
         self.weights = length_normalized_weights(self.sizes) if len(self.datasets) > 1 else None
         self._offsets = np.cumsum([0] + self.sizes)
+        # per-batch mosaic probability (see module docstring)
+        self.mosaic_prob = max(
+            (float(getattr(d, "mosaic_prob", 0.0) or 0.0) for d in self.datasets),
+            default=0.0,
+        ) if shuffle else 0.0
 
     def __len__(self) -> int:
         return self.steps_per_epoch
 
-    def _fetch(self, global_idx: int) -> dict[str, Any]:
+    def _fetch(self, global_idx: int, mosaic: bool) -> dict[str, Any]:
         d = int(np.searchsorted(self._offsets, global_idx, side="right") - 1)
-        return self.datasets[d].get(global_idx - self._offsets[d])
+        return self.datasets[d].get(global_idx - self._offsets[d], mosaic=mosaic)
 
     def _epoch_indices(self) -> np.ndarray:
         n = self.steps_per_epoch * self.batch_size
@@ -101,22 +116,23 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
         idxs = self._epoch_indices()
-        batches = idxs[: self.steps_per_epoch * self.batch_size].reshape(-1, self.batch_size)
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = object()
+        rows = idxs[: self.steps_per_epoch * self.batch_size].reshape(-1, self.batch_size)
+        mosaic_flags = (
+            self.rng.random(len(rows)) < self.mosaic_prob
+            if self.mosaic_prob else np.zeros(len(rows), bool)
+        )
+        with ThreadPoolExecutor(self.num_workers) as ex:
 
-        def worker():
-            try:
-                for row in batches:
-                    samples = [self._fetch(int(i)) for i in row]
-                    q.put(pad_collate(samples, self.max_points, self.max_boxes))
-            finally:
-                q.put(stop)
+            def submit(bi):
+                return [ex.submit(self._fetch, int(i), bool(mosaic_flags[bi]))
+                        for i in rows[bi]]
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+            depth = min(self.prefetch + 1, len(rows))
+            pending = [submit(bi) for bi in range(depth)]
+            for bi in range(len(rows)):
+                futs = pending.pop(0)
+                nxt = bi + depth
+                if nxt < len(rows):
+                    pending.append(submit(nxt))
+                samples = [f.result() for f in futs]
+                yield pad_collate(samples, self.max_points, self.max_boxes)

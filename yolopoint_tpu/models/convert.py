@@ -25,6 +25,7 @@ from __future__ import annotations
 import re
 from typing import Any, Mapping
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -107,6 +108,143 @@ def load_torch_checkpoint(path: str) -> dict:
     else:
         sd, meta = ckpt, {}
     return {"variables": torch_state_dict_to_variables(sd), "meta": meta}
+
+
+def merge_partial_variables(
+    target: Mapping[str, Any],
+    source: Mapping[str, Any],
+    verbose: bool = False,
+) -> tuple[dict, dict]:
+    """Class-aware partial load: copy every leaf whose path exists in both
+    trees with matching shape; everything else keeps the (freshly
+    initialized) target value.
+
+    This is the path-based equivalent of the reference's
+    `load_state_dict`/`load_partial_state_dict`
+    (`/root/reference/src/models/YOLOPoint.py:102-135`): when the class count
+    changes, the Detect conv kernels/biases shape-mismatch and stay at their
+    fresh initialization while the rest of the net loads.
+
+    Returns (merged_variables, report) with report lists of dotted paths:
+    `loaded`, `shape_mismatch`, `missing_in_source`, `unused_in_source`.
+    """
+    report = {"loaded": [], "shape_mismatch": [], "missing_in_source": [],
+              "unused_in_source": []}
+
+    def walk(t: Mapping, s: Mapping, path: str) -> dict:
+        out = {}
+        for k, tv in t.items():
+            p = f"{path}.{k}" if path else k
+            if isinstance(tv, Mapping):
+                sv = s.get(k) if isinstance(s, Mapping) else None
+                out[k] = walk(tv, sv if isinstance(sv, Mapping) else {}, p)
+            else:
+                sv = s.get(k) if isinstance(s, Mapping) else None
+                if sv is not None and not isinstance(sv, Mapping) \
+                        and np.shape(sv) == np.shape(tv):
+                    out[k] = sv
+                    report["loaded"].append(p)
+                elif sv is not None and not isinstance(sv, Mapping):
+                    out[k] = tv
+                    report["shape_mismatch"].append(p)
+                else:
+                    out[k] = tv
+                    report["missing_in_source"].append(p)
+        return out
+
+    def collect_extra(t: Mapping, s: Mapping, path: str) -> None:
+        for k, sv in s.items():
+            p = f"{path}.{k}" if path else k
+            tv = t.get(k) if isinstance(t, Mapping) else None
+            if isinstance(sv, Mapping):
+                collect_extra(tv if isinstance(tv, Mapping) else {}, sv, p)
+            elif tv is None:
+                report["unused_in_source"].append(p)
+
+    merged = {col: walk(target[col], source.get(col, {}), col)
+              for col in target}
+    for col in target:
+        collect_extra(target[col], source.get(col, {}), col)
+    if verbose:
+        for k, v in report.items():
+            print(f"merge_partial_variables: {k}: {len(v)}")
+    return merged, report
+
+
+# torch leaf names for the transplant's name-tail comparison
+_LEAF_TO_TORCH = {
+    ("conv", "kernel"): "conv.weight", ("conv", "bias"): "conv.bias",
+    ("bn", "scale"): "bn.weight", ("bn", "bias"): "bn.bias",
+    ("bn", "mean"): "bn.running_mean", ("bn", "var"): "bn.running_var",
+}
+
+
+def transplant_yolo_backbone(
+    yolo_state_dict: Mapping[str, Any],
+    target_variables: Mapping[str, Any],
+    module_order=None,
+    verbose: bool = False,
+) -> tuple[dict, int]:
+    """Transplant a pretrained (ultralytics-style, numerically indexed) YOLO
+    state dict into a YOLOPoint variable tree by zipping both parameter
+    sequences in torch declaration order and copying while the (module-local
+    name, shape) pairs line up — stopping at the first divergence, exactly
+    the reference `load_pretrained_yolo`
+    (`/root/reference/src/utils/utils.py:64-75`).
+
+    Returns (new_variables, number_of_copied_tensors).
+    """
+    from yolopoint_tpu.training.state import iter_params_reference_order
+
+    # our sequence: params + sibling bn batch_stats in torch traversal order
+    stats = target_variables.get("batch_stats", {})
+
+    def stats_leaf(path, name):
+        node = stats
+        for p in path[:-1]:
+            node = node.get(p, {}) if isinstance(node, Mapping) else {}
+        return node.get(name) if isinstance(node, Mapping) else None
+
+    ours: list[tuple[tuple, str, Any]] = []  # (path, torch-style tail, value)
+    for path, leaf in iter_params_reference_order(
+        target_variables["params"], module_order
+    ):
+        tail = _LEAF_TO_TORCH.get(path[-2:], ".".join(path[-2:]))
+        ours.append((path, tail, leaf))
+        if path[-2:] == ("bn", "bias"):  # torch: running stats follow bias
+            for stat, tname in (("mean", "bn.running_mean"), ("var", "bn.running_var")):
+                sv = stats_leaf(path, stat)
+                if sv is not None:
+                    ours.append((path[:-1] + (f"__stat_{stat}",), tname, sv))
+
+    theirs = [
+        (k, ".".join(k.split(".")[-2:]), v)
+        for k, v in yolo_state_dict.items()
+        if not k.endswith(("num_batches_tracked", "anchors", "anchor_grid", "stride"))
+    ]
+
+    new_vars = jax.tree_util.tree_map(np.asarray, dict(target_variables))
+    copied = 0
+    for (path, tail_a, ours_v), (tk, tail_b, theirs_v) in zip(ours, theirs):
+        arr = np.asarray(theirs_v.detach().cpu().numpy()
+                         if hasattr(theirs_v, "detach") else theirs_v)
+        if tail_a.split(".")[-1] != tail_b.split(".")[-1]:
+            break
+        if tail_a.endswith("conv.weight"):
+            arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        if arr.shape != np.shape(ours_v):
+            break
+        col = "batch_stats" if path[-1].startswith("__stat_") else "params"
+        node = new_vars[col]
+        real_path = (path[:-1] + (path[-1].removeprefix("__stat_"),)) \
+            if col == "batch_stats" else path
+        for p in real_path[:-1]:
+            node = node[p]
+        node[real_path[-1]] = arr
+        copied += 1
+        if verbose:
+            print(f"transplant: {tk} -> {'.'.join(map(str, real_path))}")
+    return new_vars, copied
 
 
 def _fold_one(tree_p: dict, tree_s: dict, out: dict) -> None:

@@ -199,18 +199,32 @@ class TrainAgent:
                 LOGGER.info(f"resumed from epoch {self.start_epoch}")
 
     def _load_pretrained(self, path: str) -> None:
-        """Load torch or orbax weights; shrink-perturb if configured
-        (reference train.py:109-115, 598-604)."""
-        from yolopoint_tpu.models.convert import load_torch_checkpoint
+        """Load torch or orbax weights with class-aware partial merge —
+        shape-mismatched leaves (e.g. Detect convs after an nc change) keep
+        their fresh init (reference `Model.load_state_dict`,
+        `/root/reference/src/models/YOLOPoint.py:102-135`); shrink-perturb if
+        configured (reference train.py:109-115, 598-604)."""
+        from yolopoint_tpu.models.convert import (
+            load_torch_checkpoint,
+            merge_partial_variables,
+        )
 
         p = Path(path)
         if p.suffix in (".tar", ".pth", ".pt"):
             loaded = load_torch_checkpoint(str(p))
-            variables = loaded["variables"]
+            target = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+            merged, report = merge_partial_variables(target, loaded["variables"])
+            if report["shape_mismatch"]:
+                LOGGER.info(
+                    f"reinitialized {len(report['shape_mismatch'])} mismatched "
+                    f"tensors (class count changed?): "
+                    f"{report['shape_mismatch'][:4]}..."
+                )
             self.state = self.state.replace(
-                params=variables["params"], batch_stats=variables["batch_stats"]
+                params=merged["params"], batch_stats=merged["batch_stats"]
             )
-            LOGGER.info(f"loaded torch weights from {p}")
+            LOGGER.info(f"loaded torch weights from {p} "
+                        f"({len(report['loaded'])} tensors)")
         if sp := self.config.get("shrink_perturb"):
             self.rng, k = jax.random.split(self.rng)
             self.state = self.state.replace(

@@ -27,7 +27,7 @@ from typing import Any, Mapping, Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from yolopoint_tpu.data.augmentation import build_training_views
 from yolopoint_tpu.losses.descriptor import descriptor_loss_sparse, infonce_loss
@@ -140,6 +140,8 @@ def compute_losses(
         batch["boxes"],
         batch["box_mask"],
         aug_config,
+        crop_yx=batch.get("mosaic_crop_yx", batch.get("crop_yx")),
+        mosaic="mosaic_crop_yx" in batch,
     )
 
     variables = {"params": params, "batch_stats": batch_stats}
@@ -211,6 +213,8 @@ def make_val_step(
         base, warped = build_training_views(
             k_aug, batch["image"], batch["points"], batch["point_mask"],
             batch["boxes"], batch["box_mask"], aug_config,
+            crop_yx=batch.get("mosaic_crop_yx", batch.get("crop_yx")),
+            mosaic="mosaic_crop_yx" in batch,
         )
         variables = {"params": params, "batch_stats": batch_stats}
         out = model.apply(variables, base.image, train=False, decode=True)
