@@ -30,7 +30,7 @@ import numpy as np
 # with the reference-equivalent pipeline (see --measure-torch); single core.
 TORCH_CPU_BASELINE_IMG_S = 0.48
 
-BATCH = 32
+BATCH = 128
 
 
 def _build_pipeline(batch: int, H: int = 640, W: int = 640):
@@ -54,7 +54,7 @@ def _build_pipeline(batch: int, H: int = 640, W: int = 640):
     )
 
 
-def bench_throughput(batch: int = BATCH, iters: int = 20, warmup: int = 3) -> float:
+def bench_throughput(batch: int = BATCH, iters: int = 12, warmup: int = 3) -> float:
     import jax
     import jax.numpy as jnp
 

@@ -162,3 +162,44 @@ def test_mutual_nn_matches_numpy_oracle(rng):
     np.testing.assert_array_equal(np.asarray(res["valid"]), keep)
     np.testing.assert_array_equal(np.asarray(res["indices"])[keep], idx[keep])
     np.testing.assert_allclose(np.asarray(res["distance"])[keep], scores[keep], atol=1e-5)
+
+
+def _reference_nms_multilabel(pred, conf_thres, iou_thres, max_det=300):
+    """Oracle for the multi_label path: one candidate per (box, class) over
+    the gate (/root/reference/src/utils/general_yolo.py:143-147)."""
+    out = []
+    for x in torch.tensor(pred):
+        x = x[x[:, 4] > conf_thres]
+        if not x.shape[0]:
+            out.append(torch.zeros((0, 6)))
+            continue
+        x[:, 5:] *= x[:, 4:5]
+        box = torch.tensor(np.asarray(B.xywh2xyxy(jnp.asarray(x[:, :4].numpy()))))
+        i, j = (x[:, 5:] > conf_thres).nonzero(as_tuple=True)
+        x = torch.cat((box[i], x[i, j + 5, None], j[:, None].float()), 1)
+        x = x[x[:, 4].argsort(descending=True)]
+        c = x[:, 5:6] * 7680
+        keep = _np_greedy_nms((x[:, :4] + c).numpy(), x[:, 4].numpy(), iou_thres)
+        out.append(x[keep[:max_det]])
+    return out
+
+
+def test_batched_nms_multilabel_matches_oracle(rng):
+    """multi_label=True (the reference VAL operating point,
+    general_yolo.py:145) — one detection per (box, class) pair."""
+    pred = _make_predictions(rng, nc=4)
+    # sharpen class probs less so several classes clear the gate per box
+    res = batched_box_nms(
+        jnp.asarray(pred), conf_thres=0.1, iou_thres=0.5, max_det=64,
+        multi_label=True,
+    )
+    ref = _reference_nms_multilabel(pred, 0.1, 0.5, 64)
+    for b in range(pred.shape[0]):
+        v = np.asarray(res["valid"][b])
+        ours_scores = np.asarray(res["scores"][b])[v]
+        ours_cls = np.asarray(res["classes"][b])[v]
+        r = ref[b].numpy()
+        assert len(ours_scores) == len(r), f"count {len(ours_scores)} vs {len(r)}"
+        np.testing.assert_allclose(ours_scores, r[:, 4], atol=1e-5)
+        np.testing.assert_array_equal(ours_cls, r[:, 5].astype(int))
+        np.testing.assert_allclose(np.asarray(res["boxes"][b])[v], r[:, :4], atol=1e-3)

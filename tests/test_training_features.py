@@ -240,3 +240,53 @@ def test_agent_train_epoch_freezes_and_emas(tiny_agent):
         before["Conv3"]["conv"]["kernel"] - np.asarray(after["Conv3"]["conv"]["kernel"])
     ).max()
     assert c3_delta > 0
+
+
+def test_bf16_train_step_finite(rng):
+    """VERDICT #5: one bf16 train step on the 8-dev mesh — bf16 conv stack,
+    f32 params/BN/losses — with finite loss and a real update."""
+    import optax
+
+    from yolopoint_tpu.losses.objects import ObjectLossConfig
+    from yolopoint_tpu.parallel.mesh import make_mesh, shard_batch
+    from yolopoint_tpu.training.step import (
+        LossWeights, make_train_step, rescale_yolo_gains,
+    )
+
+    mesh = make_mesh()
+    nc = 3
+    model = build_model("YOLOPoint", "n", nc=nc, dtype=jnp.bfloat16)
+    tx = make_optimizer(learning_rate=1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 64, 64, 3), tx=tx)
+    # params stay f32 even with a bf16 compute dtype
+    assert all(l.dtype == jnp.float32 for l in jax.tree_util.tree_leaves(state.params))
+
+    obj_cfg = rescale_yolo_gains(ObjectLossConfig(), nc=nc, img_size=64)
+    weights = LossWeights(num_samples_per_image=32, num_masked_non_matches_per_match=8)
+    aug = {
+        "photometric": {"enable": False},
+        "homographic": {"enable": True, "params": {"patch_ratio": 0.9},
+                        "valid_border_margin": 2},
+        "warped_pair": {},
+    }
+    step = make_train_step(model, mesh, aug, obj_cfg, weights, nc, donate=False)
+    B = 8
+    batch = shard_batch({
+        "image": rng.uniform(0, 1, (B, 64, 64, 3)).astype(np.float32),
+        "points": rng.uniform(4, 60, (B, 12, 2)).astype(np.float32),
+        "point_mask": np.ones((B, 12), bool),
+        "boxes": np.concatenate(
+            [rng.integers(0, nc, (B, 3, 1)).astype(np.float32),
+             rng.uniform(0.4, 0.6, (B, 3, 2)).astype(np.float32),
+             rng.uniform(0.15, 0.3, (B, 3, 2)).astype(np.float32)], axis=-1),
+        "box_mask": np.ones((B, 3), bool),
+    }, mesh)
+    new_state, aux = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["loss"])) and float(aux["loss"]) > 0
+    # loss scalars are f32 and params actually moved
+    assert aux["loss"].dtype == jnp.float32
+    delta = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params)))
+    assert delta > 0
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(new_state.params))

@@ -102,6 +102,9 @@ class InferencePipeline:
         self.box_iou = float(cfg.get("iou_thresh", 0.45))
         self.max_det = int(cfg.get("max_det", 300))
         self.filter_pts_in_boxes = bool(cfg.get("filter_pts_in_boxes", False))
+        # the full-res heatmap is a large (B, H, W) f32 output — only
+        # materialize it when a consumer asks (debug/eval)
+        self.return_heatmap = bool(cfg.get("return_heatmap", False))
         self.compute_dtype = compute_dtype
         self._jitted = jax.jit(self._process)
 
@@ -118,8 +121,9 @@ class InferencePipeline:
             "keypoints": pts,
             "kp_scores": scores,
             "kp_valid": valid,
-            "heatmap": heat,
         }
+        if self.return_heatmap:
+            result["heatmap"] = heat
 
         if "objects" in out:
             decoded, _ = out["objects"]

@@ -18,15 +18,21 @@ import jax.numpy as jnp
 
 
 def _maxpool2d(x: jax.Array, radius: int) -> jax.Array:
-    """Max over a (2r+1)^2 window (∞-norm ball), SAME padding. x: (B, H, W)."""
+    """Max over a (2r+1)^2 window (∞-norm ball), SAME padding. x: (B, H, W).
+
+    Separable: max over the square = row-max then column-max — (2r+1)+(2r+1)
+    reads per element instead of (2r+1)^2; the NMS max-pool is the
+    HBM-bandwidth hot spot of the decode."""
     k = 2 * radius + 1
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 1, k), window_strides=(1, 1, 1),
+        padding=((0, 0), (0, 0), (radius, radius)),
+    )
     return jax.lax.reduce_window(
-        x,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, k, k),
-        window_strides=(1, 1, 1),
-        padding=((0, 0), (radius, radius), (radius, radius)),
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, k, 1), window_strides=(1, 1, 1),
+        padding=((0, 0), (radius, radius), (0, 0)),
     )
 
 
@@ -86,6 +92,10 @@ def extract_keypoints(
     (point *sets* match; exact ordering among equal scores may differ).
     """
     B, H, W = heatmap.shape
+    # threshold FIRST like the reference (`getPtsFromHeatmap` gathers only
+    # >= conf pixels before nms_fast, utils.py:465-474) — also cheapens the
+    # iterative suppression
+    heatmap = jnp.where(heatmap >= conf_thresh, heatmap, 0.0)
     nmsed = simple_nms(heatmap, nms_radius, nms_iterations)
 
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -94,7 +104,6 @@ def extract_keypoints(
         (xs >= border) & (xs < W - border) & (ys >= border) & (ys < H - border)
     )
     masked = jnp.where(in_border[None], nmsed, 0.0)
-    masked = jnp.where(masked >= conf_thresh, masked, 0.0)
 
     # Exact candidate reduction before top-k: NMS survivors are pairwise more
     # than `radius` apart in inf-norm, so each (t x t) tile (t = radius) holds

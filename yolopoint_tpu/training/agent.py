@@ -76,7 +76,16 @@ class TrainAgent:
         model_cfg = config.get("model", {})
         self.model_name = model_cfg.get("name", "YOLOPoint")
         self.version = model_cfg.get("version", "s")
-        self.model = build_model(self.model_name, self.version, nc=self.nc)
+        # bf16 conv stack (params/BN stay f32; losses reduce in f32) — the
+        # TPU-native mixed precision replacing the reference's accelerate
+        # fp16 flag (`README.md:24-28`, SURVEY.md §7 design stance)
+        dtype_name = str(model_cfg.get("dtype",
+                         config.get("training_params", {}).get("dtype", "float32")))
+        self.compute_dtype = (
+            jnp.bfloat16 if dtype_name.lower() in ("bf16", "bfloat16") else jnp.float32
+        )
+        self.model = build_model(self.model_name, self.version, nc=self.nc,
+                                 dtype=self.compute_dtype)
 
         tp = config.get("training_params", {})
         epochs = int(tp.get("epochs", 100))
@@ -126,6 +135,9 @@ class TrainAgent:
         self.ema_enabled = bool(ema_cfg.get("enable", False))
         patience = tp.get("patience")
         self.stopper = EarlyStopping(int(patience)) if patience else None
+        # jax.profiler trace window (replaces the reference's thop/per-layer
+        # timers, SURVEY.md §5): training_params.profile: {start_step, num_steps}
+        self._profile = tp.get("profile") or None
 
         img_size = int(cfg_get(config, "data.preprocessing.img_size", 640))
         sp = cfg_get(config, "model.superpoint", {}) or {}
@@ -238,13 +250,20 @@ class TrainAgent:
     # ---------------- training ----------------
 
     def train(self) -> None:
+        prof_start = int(self._profile.get("start_step", 10)) if self._profile else -1
+        prof_stop = prof_start + int(self._profile.get("num_steps", 5)) if self._profile else -1
         for epoch in range(self.start_epoch, self.epochs):
             for batch in self.train_loader:
+                if self.global_step == prof_start:
+                    jax.profiler.start_trace(str(self.output_dir / "profile"))
                 batch.pop("names", None)
                 batch = shard_batch(batch, self.mesh)
                 self.rng, k = jax.random.split(self.rng)
                 self.state, aux = self.train_step(self.state, batch, k)
                 self.global_step += 1
+                if self.global_step == prof_stop:
+                    jax.block_until_ready(aux["loss"])
+                    jax.profiler.stop_trace()
                 dt = self.timer.tick()
                 if self.global_step % 50 == 0:
                     scalars = {k_: float(v) for k_, v in aux.items()}
@@ -292,6 +311,8 @@ class TrainAgent:
         loss_sums: dict[str, float] = {}
         n_batches = 0
         n_extended = 0
+        n_panels = 0
+        panels_dir = self.output_dir / "plots" if self.config.get("val_plots") else None
         self.confusion = ConfusionMatrix(self.nc)
         val_key = jax.random.PRNGKey(self.val_seed)
 
@@ -346,6 +367,23 @@ class TrainAgent:
                     homos.append(hc["correctness"])
                     matching.append(hc["matching_score"])
                     n_extended += 1
+
+                    # annotated image panels (reference TB images,
+                    # train.py:409-454)
+                    if panels_dir is not None and n_panels < 4:
+                        from yolopoint_tpu.evaluation.plots import plot_val_panel
+
+                        plot_val_panel(
+                            out["image"][b],
+                            {"boxes": ev["det"]["boxes"][b],
+                             "scores": ev["det"]["scores"][b],
+                             "classes": ev["det"]["classes"][b],
+                             "valid": ev["det"]["valid"][b]},
+                            self.names,
+                            panels_dir / f"e{epoch}_panel{n_panels}.png",
+                            keypoints=kp[:, :2],
+                        )
+                        n_panels += 1
 
             # soft precision/recall of the base heatmap vs base point labels
             pr = batch_precision_recall(ev["heatmap"], out["labels_2d"])

@@ -66,6 +66,8 @@ class CheckpointManager:
 
                 shutil.rmtree(best_dir)
             self._ckpt.save(best_dir, payload)
+            # StandardCheckpointer is async — block before anyone reads `best`
+            self._ckpt.wait_until_finished()
             (self.directory / "best_meta.json").write_text(json.dumps(meta, default=str))
         self._mgr.wait_until_finished()
 

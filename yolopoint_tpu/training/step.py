@@ -77,18 +77,22 @@ def losses_from_outputs(
     — the loss blend `(det + det_warp) + λ·desc + λ_obj·obj` of the reference
     train loop (`/root/reference/src/train.py:238-241`).
     """
+    # losses always reduce in f32 — the model may run a bf16 conv stack
+    f32 = lambda x: x.astype(jnp.float32)
+
     # keypoint detector losses on both views
     t_base = labels_to_cells(base.labels_2d)
     m_base = cell_valid_mask(base.valid_mask)
-    loss_det = detector_loss(out["semi"], t_base, m_base)
+    loss_det = detector_loss(f32(out["semi"]), t_base, m_base)
     t_warp = labels_to_cells(warped.labels_2d)
     m_warp = cell_valid_mask(warped.valid_mask)
-    loss_det_warp = detector_loss(out_w["semi"], t_warp, m_warp)
+    loss_det_warp = detector_loss(f32(out_w["semi"]), t_warp, m_warp)
 
     # object loss on the base view
     if "objects" in out and weights.lambda_obj > 0:
         loss_obj, obj_items = object_loss(
-            out["objects"], base.boxes, base.box_mask, anchors_per_stride, obj_cfg, nc
+            [f32(p) for p in out["objects"]], base.boxes, base.box_mask,
+            anchors_per_stride, obj_cfg, nc
         )
     else:
         loss_obj = jnp.zeros(())
@@ -98,7 +102,7 @@ def losses_from_outputs(
     if weights.joint_training:
         desc_fn = infonce_loss if weights.desc_loss_type == "infonce" else descriptor_loss_sparse
         loss_desc = desc_fn(
-            out["desc"], out_w["desc"], warped.valid_mask, warped.inv_homography, k_desc,
+            f32(out["desc"]), f32(out_w["desc"]), warped.valid_mask, warped.inv_homography, k_desc,
             num_samples_per_image=weights.num_samples_per_image,
             num_masked_non_matches_per_match=weights.num_masked_non_matches_per_match,
         )
@@ -229,6 +233,7 @@ def make_val_step(
             "losses": losses,
             "base": decode(out),
             "warped": decode(out_w),
+            "image": base.image,
             "boxes": base.boxes,
             "box_mask": base.box_mask,
             "labels_2d": base.labels_2d,
@@ -298,6 +303,6 @@ def make_train_step(
         mesh=mesh,
         in_specs=(state_spec, batch_spec, state_spec),
         out_specs=(state_spec, state_spec),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
