@@ -203,3 +203,57 @@ def test_batched_nms_multilabel_matches_oracle(rng):
         np.testing.assert_allclose(ours_scores, r[:, 4], atol=1e-5)
         np.testing.assert_array_equal(ours_cls, r[:, 5].astype(int))
         np.testing.assert_allclose(np.asarray(res["boxes"][b])[v], r[:, :4], atol=1e-3)
+
+
+def test_fused_detect_nms_matches_batched(rng):
+    """fused_detect_nms (objectness-gated raw-level decode, the serving fast
+    path) must equal batched_box_nms on the fully decoded predictions when
+    the candidate cap doesn't bind."""
+    import jax
+
+    from yolopoint_tpu.ops.nms import fused_detect_nms
+
+    B, nc, na = 2, 6, 3
+    strides = (8, 16, 32)
+    shapes = [(na, 16, 20), (na, 8, 10), (na, 4, 5)]
+    anchors_ps = np.abs(rng.normal(2.0, 1.0, (3, na, 2))).astype(np.float32) + 0.5
+
+    raw = []
+    for (a, ny, nx) in shapes:
+        r = rng.normal(-1.0, 1.0, (B, a, ny, nx, nc + 5)).astype(np.float32)
+        r[..., 4] -= 4.0  # obj mostly off
+        # plant some confident candidates
+        mask = rng.random((B, a, ny, nx)) < 0.02
+        r[..., 4] = np.where(mask, 4.0, r[..., 4])
+        r[..., 5:] = np.where(mask[..., None], r[..., 5:] + 3.0, r[..., 5:])
+        raw.append(jnp.asarray(r))
+
+    # decode every anchor (the Detect decode=True math) for the exact path
+    decoded = []
+    for (a, ny, nx), r, s in zip(shapes, raw, strides):
+        sig = jax.nn.sigmoid(r)
+        gx = np.broadcast_to(np.arange(nx, dtype=np.float32), (a, ny, nx))
+        gy = np.broadcast_to(np.arange(ny, dtype=np.float32)[None, :, None], (a, ny, nx))
+        grid = jnp.asarray(np.stack([gx, gy], -1))[None]
+        anchor = jnp.asarray(
+            (anchors_ps[strides.index(s)] * s)[None, :, None, None, :]
+        )
+        xy = (sig[..., 0:2] * 2 - 0.5 + grid) * s
+        wh = (sig[..., 2:4] * 2) ** 2 * anchor
+        decoded.append(jnp.concatenate([xy, wh, sig[..., 4:]], -1).reshape(B, -1, nc + 5))
+    decoded = jnp.concatenate(decoded, axis=1)
+
+    exact = batched_box_nms(decoded, conf_thres=0.25, iou_thres=0.45, max_det=64)
+    fused = jax.jit(
+        lambda rl: fused_detect_nms(rl, anchors_ps, strides,
+                                    conf_thres=0.25, iou_thres=0.45, max_det=64)
+    )(raw)
+    for b in range(B):
+        ev, fv = np.asarray(exact["valid"][b]), np.asarray(fused["valid"][b])
+        assert ev.sum() == fv.sum() > 0
+        np.testing.assert_allclose(np.asarray(fused["scores"][b])[fv],
+                                   np.asarray(exact["scores"][b])[ev], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fused["boxes"][b])[fv],
+                                   np.asarray(exact["boxes"][b])[ev], atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(fused["classes"][b])[fv],
+                                      np.asarray(exact["classes"][b])[ev])

@@ -21,7 +21,7 @@ import numpy as np
 
 from yolopoint_tpu.ops.heatmap import cells_to_heatmap
 from yolopoint_tpu.ops.keypoints import extract_keypoints
-from yolopoint_tpu.ops.nms import batched_box_nms
+from yolopoint_tpu.ops.nms import fused_detect_nms
 from yolopoint_tpu.ops.sampling import sample_descriptors
 
 
@@ -106,11 +106,20 @@ class InferencePipeline:
         # materialize it when a consumer asks (debug/eval)
         self.return_heatmap = bool(cfg.get("return_heatmap", False))
         self.compute_dtype = compute_dtype
+        # static decode tables for the fused objectness-gated box path
+        self._anchors_ps = None
+        self._strides = tuple(getattr(model, "strides", (8, 16, 32)))
+        if getattr(model, "anchors", None) is not None:
+            from yolopoint_tpu.models.detect import Detect
+
+            self._anchors_ps = Detect(
+                nc=getattr(model, "nc", 80), anchors=model.anchors
+            ).anchors_per_stride()
         self._jitted = jax.jit(self._process)
 
     def _process(self, images: jax.Array) -> dict[str, jax.Array]:
         out = self.model.apply(
-            self.variables, images.astype(self.compute_dtype), train=False, decode=True
+            self.variables, images.astype(self.compute_dtype), train=False, decode=False
         )
         heat = cells_to_heatmap(out["semi"].astype(jnp.float32))
         pts, scores, valid = extract_keypoints(
@@ -126,9 +135,9 @@ class InferencePipeline:
             result["heatmap"] = heat
 
         if "objects" in out:
-            decoded, _ = out["objects"]
-            det = batched_box_nms(
-                decoded.astype(jnp.float32),
+            # fused path: decode only the objectness-gated top candidates
+            det = fused_detect_nms(
+                out["objects"], self._anchors_ps, self._strides,
                 conf_thres=self.box_conf,
                 iou_thres=self.box_iou,
                 max_det=self.max_det,

@@ -92,31 +92,44 @@ def extract_keypoints(
     (point *sets* match; exact ordering among equal scores may differ).
     """
     B, H, W = heatmap.shape
-    # threshold FIRST like the reference (`getPtsFromHeatmap` gathers only
-    # >= conf pixels before nms_fast, utils.py:465-474) — also cheapens the
-    # iterative suppression
-    heatmap = jnp.where(heatmap >= conf_thresh, heatmap, 0.0)
-    nmsed = simple_nms(heatmap, nms_radius, nms_iterations)
-
-    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    in_border = (
-        (xs >= border) & (xs < W - border) & (ys >= border) & (ys < H - border)
-    )
-    masked = jnp.where(in_border[None], nmsed, 0.0)
-
-    # Exact candidate reduction before top-k: NMS survivors are pairwise more
-    # than `radius` apart in inf-norm, so each (t x t) tile (t = radius) holds
-    # at most one non-zero — reduce each tile to its max + argmax, then top-k
-    # over H*W/t^2 tile maxima instead of H*W pixels (a large top_k over the
-    # full map is the latency hot spot on TPU).
     t = max(int(nms_radius), 1)
-    Hp, Wp = -(-H // t) * t, -(-W // t) * t
-    padded = jnp.pad(masked, ((0, 0), (0, Hp - H), (0, Wp - W)))
-    tiles = padded.reshape(B, Hp // t, t, Wp // t, t).transpose(0, 1, 3, 2, 4)
-    tiles = tiles.reshape(B, (Hp // t) * (Wp // t), t * t)
-    tile_max = tiles.max(axis=-1)
-    tile_arg = tiles.argmax(axis=-1).astype(jnp.int32)
+
+    # fused Pallas path on TPU: threshold + iterative NMS + border + tile
+    # max/argmax in a single HBM pass (ops.pallas_nms)
+    from yolopoint_tpu.ops.pallas_nms import nms_tile_reduce, pallas_available
+
+    # W must be lane-aligned (128) for the kernel's HBM row DMA
+    if pallas_available() and H % t == 0 and W % t == 0 and H >= 4 * t \
+            and W % 128 == 0:
+        tile_max, tile_arg = nms_tile_reduce(
+            heatmap, conf_thresh, nms_radius, nms_iterations, border, t
+        )
+        Wp = W
+    else:
+        # XLA path (CPU tests / odd shapes)
+        # threshold FIRST like the reference (`getPtsFromHeatmap` gathers
+        # only >= conf pixels before nms_fast, utils.py:465-474)
+        heatmap = jnp.where(heatmap >= conf_thresh, heatmap, 0.0)
+        nmsed = simple_nms(heatmap, nms_radius, nms_iterations)
+
+        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        in_border = (
+            (xs >= border) & (xs < W - border) & (ys >= border) & (ys < H - border)
+        )
+        masked = jnp.where(in_border[None], nmsed, 0.0)
+
+        # Exact candidate reduction before top-k: NMS survivors are pairwise
+        # more than `radius` apart in inf-norm, so each (t x t) tile holds at
+        # most one non-zero — reduce each tile to its max + argmax, then
+        # top-k over H*W/t^2 tile maxima instead of H*W pixels (a large
+        # top_k over the full map is the latency hot spot on TPU).
+        Hp, Wp = -(-H // t) * t, -(-W // t) * t
+        padded = jnp.pad(masked, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        tiles = padded.reshape(B, Hp // t, t, Wp // t, t).transpose(0, 1, 3, 2, 4)
+        tiles = tiles.reshape(B, (Hp // t) * (Wp // t), t * t)
+        tile_max = tiles.max(axis=-1)
+        tile_arg = tiles.argmax(axis=-1).astype(jnp.int32)
 
     n_tiles = tile_max.shape[1]
     k = min(max_k, n_tiles)

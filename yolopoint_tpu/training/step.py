@@ -208,6 +208,9 @@ def make_val_step(
             result["det"] = batched_box_nms(
                 out["objects"][0].astype(jnp.float32),
                 conf_thres=box_conf, iou_thres=box_iou, max_det=max_det,
+                # the reference validates with one candidate per (box, class)
+                # (`general_yolo.py:143-147` multi_label)
+                multi_label=nc > 1,
             )
         return result
 
