@@ -267,7 +267,6 @@ def make_train_step(
     from yolopoint_tpu.models.detect import Detect
 
     anchors_ps = None
-    det = getattr(model, "anchors", None)
     # pull static anchor table from the model definition when present
     if hasattr(model, "anchors") and model.anchors is not None:
         anchors_ps = Detect(nc=nc, anchors=model.anchors).anchors_per_stride()
