@@ -210,3 +210,50 @@ def test_dataset_device_crop_and_loader(tmp_path, rng):
     key = "mosaic_crop_yx" if "mosaic_crop_yx" in batch else "crop_yx"
     assert batch[key].shape == (2, 2)
     assert batch["image"].ndim == 4
+
+
+def test_train_step_with_device_crop_batch(rng):
+    """The jitted DP train step consumes full-frame batches + crop corners
+    (the KITTI cropHW workflow) and produces finite losses/updates."""
+    from yolopoint_tpu.losses.objects import ObjectLossConfig
+    from yolopoint_tpu.models import build_model
+    from yolopoint_tpu.parallel.mesh import make_mesh, shard_batch
+    from yolopoint_tpu.training.state import create_train_state, make_optimizer
+    from yolopoint_tpu.training.step import (
+        LossWeights, make_train_step, rescale_yolo_gains,
+    )
+
+    mesh = make_mesh()
+    nc = 2
+    Hf, Wf, hc, wc = 96, 160, 64, 96
+    model = build_model("YOLOPoint", "n", nc=nc)
+    tx = make_optimizer(learning_rate=1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, hc, wc, 3), tx=tx)
+    aug = {
+        "photometric": {"enable": False},
+        "homographic": {"enable": True, "cropHW": [hc, wc],
+                        "params": {"patch_ratio": 0.9}, "valid_border_margin": 2},
+        "warped_pair": {},
+    }
+    obj_cfg = rescale_yolo_gains(ObjectLossConfig(), nc=nc, img_size=wc)
+    weights = LossWeights(num_samples_per_image=16, num_masked_non_matches_per_match=4)
+    step = make_train_step(model, mesh, aug, obj_cfg, weights, nc, donate=False)
+
+    B = 8
+    batch = shard_batch({
+        "image": rng.uniform(0, 1, (B, Hf, Wf, 3)).astype(np.float32),
+        "points": rng.uniform(5, 90, (B, 10, 2)).astype(np.float32),
+        "point_mask": np.ones((B, 10), bool),
+        "boxes": np.concatenate(
+            [rng.integers(0, nc, (B, 3, 1)).astype(np.float32),
+             rng.uniform(0.4, 0.6, (B, 3, 2)).astype(np.float32),
+             rng.uniform(0.1, 0.2, (B, 3, 2)).astype(np.float32)], axis=-1),
+        "box_mask": np.ones((B, 3), bool),
+        "crop_yx": np.stack([rng.integers(0, Hf - hc, B),
+                             rng.integers(0, Wf - wc, B)], -1).astype(np.float32),
+    }, mesh)
+    new_state, aux = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["loss"])) and float(aux["loss"]) > 0
+    delta = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params)))
+    assert delta > 0
