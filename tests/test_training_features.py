@@ -290,3 +290,47 @@ def test_bf16_train_step_finite(rng):
     assert delta > 0
     assert all(l.dtype == jnp.float32
                for l in jax.tree_util.tree_leaves(new_state.params))
+
+
+def test_remat_train_step_matches_plain(rng):
+    """jax.checkpoint rematerialization must not change the math — same
+    loss/grads as the plain step on identical inputs."""
+    from yolopoint_tpu.losses.objects import ObjectLossConfig
+    from yolopoint_tpu.parallel.mesh import make_mesh, shard_batch
+    from yolopoint_tpu.training.step import (
+        LossWeights, make_train_step, rescale_yolo_gains,
+    )
+
+    mesh = make_mesh()
+    nc = 2
+    model = build_model("YOLOPoint", "n", nc=nc)
+    tx = make_optimizer(learning_rate=1e-2)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 64, 64, 3), tx=tx)
+    aug = {"photometric": {"enable": False},
+           "homographic": {"enable": True, "params": {"patch_ratio": 0.9},
+                            "valid_border_margin": 2},
+           "warped_pair": {}}
+    obj = rescale_yolo_gains(ObjectLossConfig(), nc=nc, img_size=64)
+    weights = LossWeights(num_samples_per_image=16, num_masked_non_matches_per_match=4)
+    B = 8
+    batch = shard_batch({
+        "image": rng.uniform(0, 1, (B, 64, 64, 3)).astype(np.float32),
+        "points": rng.uniform(4, 60, (B, 8, 2)).astype(np.float32),
+        "point_mask": np.ones((B, 8), bool),
+        "boxes": np.concatenate(
+            [rng.integers(0, nc, (B, 2, 1)).astype(np.float32),
+             rng.uniform(0.4, 0.6, (B, 2, 2)).astype(np.float32),
+             rng.uniform(0.2, 0.3, (B, 2, 2)).astype(np.float32)], axis=-1),
+        "box_mask": np.ones((B, 2), bool),
+    }, mesh)
+
+    plain = make_train_step(model, mesh, aug, obj, weights, nc, donate=False)
+    remat = make_train_step(model, mesh, aug, obj, weights, nc, donate=False,
+                            remat=True)
+    s1, a1 = plain(state, batch, jax.random.PRNGKey(7))
+    s2, a2 = remat(state, batch, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(a1["loss"]), float(a2["loss"]), rtol=1e-5)
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) < 1e-5

@@ -180,6 +180,7 @@ class TrainAgent:
             self.model, self.mesh, aug_config, self.obj_cfg, self.weights, self.nc,
             ema_decay=float(ema_cfg.get("decay", 0.9999)),
             ema_tau=float(ema_cfg.get("tau", 2000.0)),
+            remat=bool(tp.get("remat", False)),
         )
         self._aug_config = aug_config
         val_aug = cfg_get(config, "data.val_augmentation", None)

@@ -133,8 +133,14 @@ def compute_losses(
     anchors_per_stride,
     nc: int,
     train: bool = True,
+    remat: bool = False,
 ):
-    """Augment + double forward + all losses. Returns (loss, (aux, stats))."""
+    """Augment + double forward + all losses. Returns (loss, (aux, stats)).
+
+    `remat=True` rematerializes each forward under `jax.checkpoint` —
+    activations of the double forward are recomputed in the backward pass,
+    trading ~1/3 more FLOPs for the activation memory of one whole view
+    (lets 640 px batches grow past HBM on a single chip)."""
     k_aug, k_desc = jax.random.split(rng)
     base, warped = build_training_views(
         k_aug,
@@ -148,16 +154,23 @@ def compute_losses(
         mosaic="mosaic_crop_yx" in batch,
     )
 
-    variables = {"params": params, "batch_stats": batch_stats}
     mutable = ["batch_stats"] if train else []
 
-    out, vstate = model.apply(variables, base.image, train=train, mutable=mutable) \
-        if train else (model.apply(variables, base.image, train=False), {})
-    out_w, vstate2 = model.apply(
-        {"params": params, "batch_stats": vstate.get("batch_stats", batch_stats)},
-        warped.image, train=train, mutable=mutable,
-    ) if train else (model.apply(variables, warped.image, train=False), {})
-    new_stats = vstate2.get("batch_stats", batch_stats)
+    def fwd(p, stats, images):
+        variables = {"params": p, "batch_stats": stats}
+        if train:
+            return model.apply(variables, images, train=True, mutable=mutable)
+        return model.apply(variables, images, train=False), {}
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
+
+    out, vstate = fwd(params, batch_stats, base.image)
+    out_w, vstate2 = fwd(
+        params, vstate.get("batch_stats", batch_stats) if train else batch_stats,
+        warped.image,
+    )
+    new_stats = vstate2.get("batch_stats", batch_stats) if train else batch_stats
 
     total, aux = losses_from_outputs(
         out, out_w, base, warped, k_desc, obj_cfg, weights, anchors_per_stride, nc
@@ -257,6 +270,7 @@ def make_train_step(
     donate: bool = True,
     ema_decay: float = 0.9999,
     ema_tau: float = 2000.0,
+    remat: bool = False,
 ):
     """Build the jitted DP train step over `mesh`.
 
@@ -280,6 +294,7 @@ def make_train_step(
             return compute_losses(
                 model, params, state.batch_stats, batch, rng,
                 aug_config, obj_cfg, weights, anchors_ps, nc, train=True,
+                remat=remat,
             )
 
         (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
