@@ -124,3 +124,23 @@ def test_checkpoint_save_restore(tiny_model, tmp_path, rng):
 
     best, bmeta = mgr.restore_best(zeroed)
     assert best is not None and bmeta.get("fitness") == 0.5
+
+
+def test_demo_cli_smoke(tmp_path, rng):
+    """The demo CLI streams a directory of frames through the fused bf16
+    pipeline and writes annotated outputs (reference demo.py workflow)."""
+    import cv2
+
+    from yolopoint_tpu.frontend import demo
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(frames / f"f{i}.png"),
+                    rng.integers(0, 255, (96, 128, 3), np.uint8))
+    out_dir = tmp_path / "out"
+    demo.main(["--input", str(frames), "--version", "n", "--img-size", "128",
+               "--kpt-conf", "0.0001", "--save-dir", str(out_dir), "--track"])
+    outs = sorted(out_dir.glob("*.jpg"))
+    assert len(outs) == 2
+    assert all(f.stat().st_size > 500 for f in outs)

@@ -334,3 +334,13 @@ def test_remat_train_step_matches_plain(rng):
         lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params
     )
     assert max(jax.tree_util.tree_leaves(deltas)) < 1e-5
+
+
+def test_agent_validate_writes_plots(tiny_agent):
+    agent, _ = tiny_agent
+    agent.config["val_plots"] = True
+    agent.validate(9)
+    plots = list((agent.output_dir / "plots").glob("*.png"))
+    names = {p.name for p in plots}
+    assert any("confusion" in n for n in names)
+    assert any("panel" in n for n in names)

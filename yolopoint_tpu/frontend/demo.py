@@ -73,36 +73,48 @@ def main(argv=None):
     parser.add_argument("--kpt-conf", type=float, default=0.015)
     parser.add_argument("--save-dir", default=None)
     parser.add_argument("--track", action="store_true", help="draw point tracks")
+    parser.add_argument("--f32", action="store_true",
+                        help="disable the fused bf16 deploy path")
     args = parser.parse_args(argv)
 
     import jax
+    import jax.numpy as jnp
 
     from yolopoint_tpu.frontend.pipeline import InferencePipeline
     from yolopoint_tpu.frontend.tracker import PointTracker
     from yolopoint_tpu.models import build_model
-    from yolopoint_tpu.models.convert import load_torch_checkpoint
+    from yolopoint_tpu.models.convert import fold_batch_norm, load_torch_checkpoint
 
     names = None
+    model_name, version, nc = args.model, args.version, 80
     if args.weights and args.weights.endswith((".tar", ".pth", ".pt")):
         loaded = load_torch_checkpoint(args.weights)
         variables = loaded["variables"]
         meta = loaded["meta"]
         names = meta.get("names")
-        model = build_model(
-            meta.get("model_name", args.model), meta.get("version", args.version),
-            nc=max(len(names or []), 1),
-        )
+        model_name = meta.get("model_name", args.model)
+        version = meta.get("version", args.version)
+        nc = max(len(names or []), 1)
     else:
-        model = build_model(args.model, args.version, nc=80)
-        import jax.numpy as jnp
-
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, args.img_size, args.img_size, 3)), train=False
+        variables = build_model(model_name, version, nc=nc).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, args.img_size, args.img_size, 3)),
+            train=False,
         )
+
+    # deploy path: fold conv+BN, bf16 conv stack (reference fuses at load,
+    # demo.py:49); --f32 keeps the unfused float path for debugging
+    if args.f32:
+        model = build_model(model_name, version, nc=nc)
+        dtype = jnp.float32
+    else:
+        variables = fold_batch_norm(variables)
+        model = build_model(model_name, version, nc=nc, dtype=jnp.bfloat16, fused=True)
+        dtype = jnp.bfloat16
 
     pipe = InferencePipeline(
         model, variables,
         {"detection_threshold": args.kpt_conf, "conf_thresh": args.conf},
+        compute_dtype=dtype,
     )
     tracker = PointTracker(max_length=5, nn_thresh=0.7) if args.track else None
 
