@@ -39,3 +39,11 @@ from yolopoint_tpu.models.yolopoint import (
     build_model,
     VERSION_MULTIPLIERS,
 )
+from yolopoint_tpu.models.yolopoint import REFERENCE_MODULE_ORDER
+from yolopoint_tpu.models.convert import (
+    fold_batch_norm,
+    load_torch_checkpoint,
+    merge_partial_variables,
+    torch_state_dict_to_variables,
+    transplant_yolo_backbone,
+)

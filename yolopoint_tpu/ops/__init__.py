@@ -35,7 +35,8 @@ from yolopoint_tpu.ops.boxes import (
     box_iou,
     bbox_iou,
 )
-from yolopoint_tpu.ops.nms import batched_box_nms
+from yolopoint_tpu.ops.nms import batched_box_nms, fused_detect_nms
+from yolopoint_tpu.ops.pallas_nms import nms_tile_reduce, pallas_available
 from yolopoint_tpu.ops.sampling import (
     grid_sample,
     sample_descriptors,

@@ -13,3 +13,9 @@ from yolopoint_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from yolopoint_tpu.parallel.spatial import (
+    SPATIAL_AXIS,
+    image_sharding,
+    make_spatial_mesh,
+    spatial_sharded_forward,
+)
