@@ -89,3 +89,69 @@ def test_transplant_torch_backbone():
         new_vars["batch_stats"]["Conv1"]["bn"]["var"],
         converted["batch_stats"]["Conv1"]["bn"]["var"],
     )
+
+
+def test_torch_state_dict_roundtrip():
+    """torch sd -> Flax variables -> torch sd is the identity on every key
+    the forward converter keeps (interop both directions)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from reference_oracle import import_reference_model_module
+
+    import torch
+
+    from yolopoint_tpu.models.convert import variables_to_torch_state_dict
+
+    ref = import_reference_model_module()
+    torch.manual_seed(1)
+    tm = ref.Model(names=["a", "b"], model_name="YOLOPoint", version="n")
+    sd = {k: v for k, v in tm.state_dict().items()
+          if not k.endswith(("num_batches_tracked", "anchors", "anchor_grid", "stride"))}
+    variables = torch_state_dict_to_variables(sd)
+    back = variables_to_torch_state_dict(variables, prefix="model.")
+    assert set(back) == set(sd), (
+        f"missing={sorted(set(sd) - set(back))[:4]} "
+        f"extra={sorted(set(back) - set(sd))[:4]}"
+    )
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k].numpy(), err_msg=k)
+
+
+def test_checkpoint_ema_roundtrip(tmp_path):
+    """EMA shadow params survive save/restore and restore_best."""
+    import optax
+
+    from yolopoint_tpu.training.checkpoint import CheckpointManager
+    from yolopoint_tpu.training.state import create_train_state, make_optimizer
+
+    model = build_model("YOLOPoint", "n", nc=2)
+    tx = make_optimizer(learning_rate=0.1)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 3),
+                               tx=tx, ema=True)
+    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    state = state.apply_gradients(grads, state.batch_stats)
+    from yolopoint_tpu.training.ema import ema_update
+
+    state = state.replace(
+        ema_params=ema_update(state.ema_params, state.params, state.step)
+    )
+    mgr = CheckpointManager(tmp_path)
+    mgr.save(0, state, metadata={"epoch": 0}, fitness=1.0, best=True)
+
+    zeroed = state.replace(
+        params=jax.tree_util.tree_map(jnp.zeros_like, state.params),
+        ema_params=jax.tree_util.tree_map(jnp.zeros_like, state.ema_params),
+    )
+    restored, _ = mgr.restore(zeroed)
+    ema_leaf = jax.tree_util.tree_leaves(restored.ema_params)[0]
+    orig_leaf = jax.tree_util.tree_leaves(state.ema_params)[0]
+    np.testing.assert_allclose(np.asarray(ema_leaf), np.asarray(orig_leaf))
+
+    best, meta = mgr.restore_best(zeroed)
+    assert best is not None and meta["fitness"] == 1.0
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(best.ema_params)[0]),
+        np.asarray(orig_leaf),
+    )

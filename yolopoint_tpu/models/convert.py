@@ -282,6 +282,57 @@ def fold_batch_norm(variables: dict) -> dict:
     return {"params": out}
 
 
+def variables_to_torch_state_dict(
+    variables: Mapping[str, Any],
+    prefix: str = "model.",
+) -> dict:
+    """Inverse of `torch_state_dict_to_variables`: export Flax variables as a
+    reference-schema torch state dict (numpy values), so models trained here
+    load straight into the reference's `Model.load_state_dict`
+    (`/root/reference/src/models/YOLOPoint.py:102`) and its ROS stack.
+
+    * `m_0` style module-list names -> `m.0`
+    * conv `kernel` HWIO -> `weight` OIHW; linear kernel transposed
+    * bn `scale`/`bias` -> `weight`/`bias`; stats -> `running_mean/var`
+    * `prefix` restores the meta-`Model` wrapper namespace.
+    """
+    out: dict = {}
+
+    def torch_name(path: list[str], leaf: str) -> str:
+        parts = []
+        for p in path:
+            head, _, tail = p.rpartition("_")
+            parts.append(f"{head}.{tail}" if head and tail.isdigit() else p)
+        return prefix + ".".join(parts + [leaf])
+
+    def walk_params(node: Mapping, path: list[str]) -> None:
+        for k, v in node.items():
+            if isinstance(v, Mapping):
+                walk_params(v, path + [k])
+                continue
+            arr = np.asarray(v)
+            if k == "kernel":
+                if arr.ndim == 4:
+                    out[torch_name(path, "weight")] = arr.transpose(3, 2, 0, 1)
+                else:
+                    out[torch_name(path, "weight")] = arr.T
+            elif k == "scale":
+                out[torch_name(path, "weight")] = arr
+            else:  # bias
+                out[torch_name(path, k)] = arr
+
+    def walk_stats(node: Mapping, path: list[str]) -> None:
+        for k, v in node.items():
+            if isinstance(v, Mapping):
+                walk_stats(v, path + [k])
+            elif k in ("mean", "var"):
+                out[torch_name(path, f"running_{k}")] = np.asarray(v)
+
+    walk_params(variables["params"], [])
+    walk_stats(variables.get("batch_stats", {}), [])
+    return out
+
+
 def variables_to_jnp(variables: dict, dtype=jnp.float32) -> dict:
     """Cast numpy leaves to jnp arrays of `dtype` (params only; stats f32)."""
     import jax

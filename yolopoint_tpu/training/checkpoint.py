@@ -109,10 +109,15 @@ class CheckpointManager:
             "opt_state": _np_tree(state.opt_state),
             "step": 0,
         }
+        if getattr(state, "ema_params", None) is not None:
+            template["ema_params"] = _np_tree(state.ema_params)
         payload = self._ckpt.restore(self._best_path, target=template)
         meta_path = self.directory / "best_meta.json"
         meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
-        return state.replace(
+        restored = state.replace(
             params=payload["params"], batch_stats=payload["batch_stats"],
             opt_state=payload["opt_state"], step=np.asarray(payload["step"], np.int32),
-        ), meta
+        )
+        if "ema_params" in payload:
+            restored = restored.replace(ema_params=payload["ema_params"])
+        return restored, meta
