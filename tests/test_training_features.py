@@ -344,3 +344,23 @@ def test_agent_validate_writes_plots(tiny_agent):
     names = {p.name for p in plots}
     assert any("confusion" in n for n in names)
     assert any("panel" in n for n in names)
+
+
+def test_weight_decay_skips_bias_and_bn():
+    """Masked decoupled decay: rank>=2 weights decay, biases/BN scales don't
+    (reference smart_optimizer 3-group split)."""
+    params = {"conv": {"kernel": jnp.ones((3, 3, 4, 4)), "bias": jnp.ones((4,))},
+              "bn": {"scale": jnp.ones((4,)), "bias": jnp.ones((4,))}}
+    tx = make_optimizer(learning_rate=0.0, weight_decay=0.1)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    # lr=0 -> only the decay term would move params; scale_by_learning_rate
+    # multiplies by lr=...
+    tx2 = make_optimizer(learning_rate=1.0, lrf=1.0, weight_decay=0.1)
+    opt2 = tx2.init(params)
+    updates, _ = tx2.update(grads, opt2, params)
+    new = optax.apply_updates(params, updates)
+    assert float(jnp.abs(new["conv"]["kernel"] - 0.9).max()) < 1e-6  # decayed
+    assert float(jnp.abs(new["conv"]["bias"] - 1.0).max()) < 1e-6   # exempt
+    assert float(jnp.abs(new["bn"]["scale"] - 1.0).max()) < 1e-6    # exempt

@@ -125,6 +125,7 @@ class TrainAgent:
             grad_clip=float(tp["gradclip"]) if tp.get("gradclip") else None,
             accumulate_steps=accum,
             trainable_mask=trainable_mask,
+            weight_decay=float(tp.get("weight_decay", 0.0)),
         )
         self.epochs = epochs
         self.accum = accum

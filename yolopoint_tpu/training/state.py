@@ -156,12 +156,24 @@ def make_optimizer(
     accumulate_steps: int = 1,
     trainable_mask=None,
     betas: tuple[float, float] = (0.9, 0.999),
+    weight_decay: float = 0.0,
 ) -> optax.GradientTransformation:
+    """Adam + linear-decay LR (+ optional clip/accumulation/freezing).
+
+    `weight_decay` applies decoupled decay to WEIGHT tensors only (rank >= 2)
+    — BN scales and biases are exempt, the reference `smart_optimizer`'s
+    3-param-group split (`/root/reference/src/utils/torch_utils_yolo.py:263-290`).
+    """
     sched = linear_lr_schedule(learning_rate, lrf, total_epochs, steps_per_epoch)
     chain = []
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip))
     chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(
+            weight_decay,
+            mask=lambda params: jax.tree_util.tree_map(lambda p: p.ndim >= 2, params),
+        ))
     chain.append(optax.scale_by_learning_rate(sched))
     tx = optax.chain(*chain)
     if trainable_mask is not None:
