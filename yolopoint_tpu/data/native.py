@@ -17,12 +17,36 @@ import numpy as np
 
 _LIB_PATH = Path(__file__).resolve().parents[2] / "native" / "libyp_preprocess.so"
 _lib: Optional[ctypes.CDLL] = None
+_build_attempted = False
+
+
+def _try_build() -> None:
+    """Build the library in-tree on first use (fresh checkouts have sources
+    but no .so — the Makefile is a single g++ invocation, ~1 s)."""
+    global _build_attempted
+    if _build_attempted:
+        return
+    _build_attempted = True
+    import shutil
+    import subprocess
+
+    if shutil.which("make") is None:
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", str(_LIB_PATH.parent)],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass
 
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    if not _LIB_PATH.exists():
+        _try_build()
     if not _LIB_PATH.exists():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))

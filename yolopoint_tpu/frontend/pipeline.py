@@ -102,6 +102,10 @@ class InferencePipeline:
         self.box_iou = float(cfg.get("iou_thresh", 0.45))
         self.max_det = int(cfg.get("max_det", 300))
         self.filter_pts_in_boxes = bool(cfg.get("filter_pts_in_boxes", False))
+        # MXU one-hot descriptor sampling (bf16 matmul, ~4x faster than the
+        # XLA gather at deploy batch sizes); set exact_descriptors: true to
+        # force the exact f32 gather path
+        self.exact_descriptors = bool(cfg.get("exact_descriptors", False))
         # the full-res heatmap is a large (B, H, W) f32 output — only
         # materialize it when a consumer asks (debug/eval)
         self.return_heatmap = bool(cfg.get("return_heatmap", False))
@@ -150,7 +154,19 @@ class InferencePipeline:
                 suppress = jax.vmap(_points_in_boxes)(pts, det["boxes"], det["valid"])
                 result["kp_valid"] = valid & ~suppress
 
-        desc = sample_descriptors(out["desc"].astype(jnp.float32), pts)
+        from yolopoint_tpu.ops.pallas_gather import (
+            sample_descriptors_pallas, sampling_fits_pallas,
+        )
+        from yolopoint_tpu.ops.pallas_nms import pallas_available
+
+        if (
+            not self.exact_descriptors
+            and pallas_available()
+            and sampling_fits_pallas(out["desc"].shape)
+        ):
+            desc = sample_descriptors_pallas(out["desc"], pts)
+        else:
+            desc = sample_descriptors(out["desc"].astype(jnp.float32), pts)
         result["descriptors"] = desc
         return result
 

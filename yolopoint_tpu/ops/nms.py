@@ -59,6 +59,19 @@ def _greedy_nms_keep(boxes: jax.Array, valid: jax.Array, iou_thres: float) -> ja
     return keep
 
 
+def _greedy_keep_batched(boxes: jax.Array, valid: jax.Array, iou_thres: float) -> jax.Array:
+    """Batched greedy keep mask: in-VMEM Pallas kernel on TPU (one HBM pass,
+    MXU mat-vec fixpoint — see `ops.pallas_box_nms`), vmapped XLA Jacobi
+    elsewhere. Identical results."""
+    from yolopoint_tpu.ops.pallas_box_nms import pallas_greedy_nms
+    from yolopoint_tpu.ops.pallas_nms import pallas_available
+
+    K = boxes.shape[1]
+    if pallas_available() and K % 256 == 0:
+        return pallas_greedy_nms(boxes, valid, iou_thres)
+    return jax.vmap(_greedy_nms_keep, in_axes=(0, 0, None))(boxes, valid, iou_thres)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "agnostic", "multi_label"),
@@ -118,53 +131,33 @@ def batched_box_nms(
         top_scores, top_idx = jax.lax.top_k(gated, k)
         top_boxes = boxes_f[top_idx]
         top_classes = classes[top_idx]
-        top_valid = top_scores > 0.0
+        return top_boxes, top_scores, top_classes
 
-        offset = 0.0 if agnostic else top_classes.astype(top_boxes.dtype)[:, None] * MAX_WH
-        keep = _greedy_nms_keep(top_boxes + offset, top_valid, iou_thres)
+    top_boxes, top_scores, top_classes = jax.vmap(per_image)(prediction)
+    top_valid = top_scores > 0.0
+    offset = (
+        0.0 if agnostic
+        else top_classes.astype(top_boxes.dtype)[..., None] * MAX_WH
+    )
+    keep = _greedy_keep_batched(top_boxes + offset, top_valid, iou_thres)
 
-        kept_scores = jnp.where(keep, top_scores, -1.0)
-        k_out = min(max_det, kept_scores.shape[0])
-        out_scores, out_idx = jax.lax.top_k(kept_scores, k_out)
-        pad = max_det - k_out
-        if pad:
-            out_scores = jnp.pad(out_scores, (0, pad), constant_values=-1.0)
-            out_idx = jnp.pad(out_idx, (0, pad))
-        return {
-            "boxes": top_boxes[out_idx],
-            "scores": jnp.maximum(out_scores, 0.0),
-            "classes": top_classes[out_idx].astype(jnp.int32),
-            "valid": out_scores > 0.0,
-        }
-
-    return jax.vmap(per_image)(prediction)
-
-
-@functools.lru_cache(maxsize=8)
-def _detect_flat_tables(level_shapes, anchors_key, strides):
-    """Static per-candidate decode tables in the RAW flat order (a, gy, gx)
-    per level, levels concatenated: grid x/y, pixel anchor w/h, stride.
-
-    `level_shapes` is a tuple of (na, ny, nx); `anchors_key` a hashable
-    nested tuple of the per-stride anchors.
-    """
-    anchors_ps = np.asarray(anchors_key, np.float32)  # (nl, na, 2)
-    gx, gy, aw, ah, st = [], [], [], [], []
-    for li, (na, ny, nx) in enumerate(level_shapes):
-        s = float(strides[li])
-        shape = (na, ny, nx)
-        gx.append(np.broadcast_to(np.arange(nx, dtype=np.float32), shape).ravel())
-        gy.append(np.broadcast_to(np.arange(ny, dtype=np.float32)[None, :, None], shape).ravel())
-        aw.append(np.broadcast_to((anchors_ps[li, :, 0] * s)[:, None, None], shape).ravel())
-        ah.append(np.broadcast_to((anchors_ps[li, :, 1] * s)[:, None, None], shape).ravel())
-        st.append(np.full(na * ny * nx, s, np.float32))
-    # numpy (not jnp): this cache outlives traces — device constants are
-    # materialized at each use site instead
-    cat = np.concatenate
-    return cat(gx), cat(gy), cat(aw), cat(ah), cat(st)
+    kept_scores = jnp.where(keep, top_scores, -1.0)
+    k = kept_scores.shape[1]
+    k_out = min(max_det, k)
+    out_scores, out_idx = jax.lax.top_k(kept_scores, k_out)
+    pad = max_det - k_out
+    if pad:
+        out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)), constant_values=-1.0)
+        out_idx = jnp.pad(out_idx, ((0, 0), (0, pad)))
+    return {
+        "boxes": jnp.take_along_axis(top_boxes, out_idx[..., None], axis=1),
+        "scores": jnp.maximum(out_scores, 0.0),
+        "classes": jnp.take_along_axis(top_classes, out_idx, axis=1).astype(jnp.int32),
+        "valid": out_scores > 0.0,
+    }
 
 
-def fused_detect_nms(  # call inside jit; anchors_ps must be a concrete array
+def fused_detect_nms(
     raw_levels,
     anchors_ps,
     strides=(8, 16, 32),
@@ -174,17 +167,20 @@ def fused_detect_nms(  # call inside jit; anchors_ps must be a concrete array
     max_nms: int = 1024,
     agnostic: bool = False,
 ) -> dict[str, jax.Array]:
-    """Objectness-gated decode + NMS straight from the raw Detect levels.
+    """Score-gated decode + NMS straight from the raw Detect levels.
 
-    Instead of decoding every anchor to a `(B, ΣN, 5+nc)` f32 tensor and
-    top-k-ing it (the reference inference path, `yolo.py:49-70` ->
-    `general_yolo.py:124-235`), gate by sigmoid(obj) on the raw logits,
-    select the top `max_nms` candidates per image, and decode/classify ONLY
-    those — ~25x less decode math and HBM traffic at 640 px.
+    Instead of materializing and top-k-ing a `(B, ΣN, 5+nc)` f32 prediction
+    tensor (the reference inference path, `yolo.py:49-70` ->
+    `general_yolo.py:124-235`), decode boxes/scores ELEMENTWISE per level
+    (grids and anchors come from iotas, never gathered), pack 6 channels
+    `[x1, y1, x2, y2, score, class]`, and gather only the top `max_nms`
+    candidates by final class score — ~14x less gather traffic than pulling
+    the raw 85-channel rows, and the top-k order doubles as the NMS
+    priority order (no second sort).
 
     Semantics match `batched_box_nms` on decoded predictions exactly
-    whenever at most `max_nms` candidates pass the objectness gate (the cap
-    here ranks by objectness instead of final class score).
+    whenever at most `max_nms` candidates pass the confidence gate (both
+    rank by final class score).
 
     Args:
       raw_levels: nl raw Detect tensors `(B, na, ny, nx, 5+nc)` (any dtype).
@@ -192,47 +188,49 @@ def fused_detect_nms(  # call inside jit; anchors_ps must be a concrete array
         (`Detect.anchors_per_stride()`).
     """
     B = raw_levels[0].shape[0]
-    level_shapes = tuple(tuple(r.shape[1:4]) for r in raw_levels)
-    anchors_key = tuple(
-        tuple(tuple(a) for a in lvl)
-        for lvl in np.asarray(anchors_ps, np.float32).tolist()
-    )
-    tables = _detect_flat_tables(level_shapes, anchors_key, tuple(strides))
-    gx, gy, aw, ah, st = (jnp.asarray(t) for t in tables)
+    anchors_ps = jnp.asarray(anchors_ps, jnp.float32)
 
-    y = jnp.concatenate([r.reshape(B, -1, r.shape[-1]) for r in raw_levels], axis=1)
-    obj = jax.nn.sigmoid(y[..., 4].astype(jnp.float32))          # (B, N)
-    gated = jnp.where(obj > conf_thres, obj, -1.0)
+    packed_lvls, gated_lvls = [], []
+    for li, r in enumerate(raw_levels):
+        _, na, ny, nx, no = r.shape
+        s = float(strides[li])
+        rf = r.astype(jnp.float32)
+        obj = jax.nn.sigmoid(rf[..., 4])
+        cls_logit = rf[..., 5:]
+        cls_max = cls_logit.max(axis=-1)
+        cls_idx = cls_logit.argmax(axis=-1).astype(jnp.float32)
+        score = obj * jax.nn.sigmoid(cls_max)
+        gxy = jnp.stack(
+            [
+                jax.lax.broadcasted_iota(jnp.float32, (na, ny, nx), 2),
+                jax.lax.broadcasted_iota(jnp.float32, (na, ny, nx), 1),
+            ],
+            axis=-1,
+        )                                                        # (na,ny,nx,2)
+        anc = (anchors_ps[li] * s)[:, None, None, :]             # (na,1,1,2)
+        xy = (jax.nn.sigmoid(rf[..., 0:2]) * 2.0 - 0.5 + gxy) * s
+        wh = (jax.nn.sigmoid(rf[..., 2:4]) * 2.0) ** 2 * anc
+        boxes = xywh2xyxy(jnp.concatenate([xy, wh], axis=-1))
+        packed = jnp.concatenate(
+            [boxes, score[..., None], cls_idx[..., None]], axis=-1
+        )                                                        # (B,na,ny,nx,6)
+        packed_lvls.append(packed.reshape(B, -1, 6))
+        gated_lvls.append(
+            jnp.where((obj > conf_thres) & (score > conf_thres), score, -1.0)
+            .reshape(B, -1)
+        )
+
+    packed = jnp.concatenate(packed_lvls, axis=1)                # (B, N, 6)
+    gated = jnp.concatenate(gated_lvls, axis=1)                  # (B, N)
     k = min(max_nms, gated.shape[1])
-    obj_k, idx = jax.lax.top_k(gated, k)                         # (B, K)
-
-    rows = jnp.take_along_axis(
-        y, idx[..., None], axis=1
-    ).astype(jnp.float32)                                        # (B, K, no)
-    sig = jax.nn.sigmoid(rows)
-    grid = jnp.stack([gx[idx], gy[idx]], axis=-1)                # (B, K, 2)
-    anchor = jnp.stack([aw[idx], ah[idx]], axis=-1)
-    stride = st[idx][..., None]
-    xy = (sig[..., 0:2] * 2.0 - 0.5 + grid) * stride
-    wh = (sig[..., 2:4] * 2.0) ** 2 * anchor
-    boxes = xywh2xyxy(jnp.concatenate([xy, wh], axis=-1))        # (B, K, 4)
-
-    cls_conf = sig[..., 5:] * sig[..., 4:5]
-    scores = cls_conf.max(axis=-1)
-    classes = cls_conf.argmax(axis=-1)
-    valid = (obj_k > conf_thres) & (scores > conf_thres)
-
-    # score-sorted greedy order (parity with batched_box_nms)
-    sort_scores = jnp.where(valid, scores, -1.0)
-    top_scores, order = jax.lax.top_k(sort_scores, k)
-    boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
-    classes = jnp.take_along_axis(classes, order, axis=1)
+    top_scores, idx = jax.lax.top_k(gated, k)                    # (B, K)
+    rows = jnp.take_along_axis(packed, idx[..., None], axis=1)   # (B, K, 6)
+    boxes = rows[..., 0:4]
+    classes = rows[..., 5].astype(jnp.int32)
     top_valid = top_scores > 0.0
 
     offset = 0.0 if agnostic else classes.astype(boxes.dtype)[..., None] * MAX_WH
-    keep = jax.vmap(_greedy_nms_keep, in_axes=(0, 0, None))(
-        boxes + offset, top_valid, iou_thres
-    )
+    keep = _greedy_keep_batched(boxes + offset, top_valid, iou_thres)
 
     kept_scores = jnp.where(keep, top_scores, -1.0)
     k_out = min(max_det, k)
