@@ -95,16 +95,39 @@ def extract_keypoints(
     t = max(int(nms_radius), 1)
 
     # fused Pallas path on TPU: threshold + iterative NMS + border + tile
-    # max/argmax in a single HBM pass (ops.pallas_nms)
-    from yolopoint_tpu.ops.pallas_nms import nms_tile_reduce, pallas_available
+    # reduction to packed score/position keys in a single HBM pass
+    # (ops.pallas_nms); top-k over the int32 keys is order-equivalent to
+    # top-k over scores and carries the in-tile argmax in its low bits, so
+    # points need no per-point gather (scores are exact to 2^-19 relative).
+    from yolopoint_tpu.ops.pallas_nms import nms_tile_keys, pallas_available
 
     # W must be lane-aligned (128) for the kernel's HBM row DMA
     if pallas_available() and H % t == 0 and W % t == 0 and H >= 4 * t \
             and W % 128 == 0:
-        tile_max, tile_arg = nms_tile_reduce(
+        keys = nms_tile_keys(
             heatmap, conf_thresh, nms_radius, nms_iterations, border, t
         )
-        Wp = W
+        n_tiles = keys.shape[1]
+        k = min(max_k, n_tiles)
+        key_k, tidx = jax.lax.top_k(keys, k)
+        pos_bits = max((t * t - 1).bit_length(), 1)
+        pos_mask = (1 << pos_bits) - 1
+        scores = jnp.where(
+            key_k > 0,
+            jax.lax.bitcast_convert_type(key_k & ~pos_mask, jnp.float32),
+            0.0,
+        )
+        sub = jnp.where(key_k > 0, key_k & pos_mask, 0)
+        ntw = W // t
+        x = ((tidx % ntw) * t + sub % t).astype(jnp.float32)
+        y = ((tidx // ntw) * t + sub // t).astype(jnp.float32)
+        if k < max_k:
+            pad_n = max_k - k
+            scores = jnp.pad(scores, ((0, 0), (0, pad_n)))
+            x = jnp.pad(x, ((0, 0), (0, pad_n)))
+            y = jnp.pad(y, ((0, 0), (0, pad_n)))
+        points = jnp.stack([x, y], axis=-1)
+        return points, scores, scores > 0.0
     else:
         # XLA path (CPU tests / odd shapes)
         # threshold FIRST like the reference (`getPtsFromHeatmap` gathers

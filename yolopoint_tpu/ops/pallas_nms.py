@@ -150,32 +150,17 @@ def _kernel(hbm_ref, out_ref, scratch, sems,
     out_ref[0] = scratch[slot, pl.ds(off, BR), :]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("conf_thresh", "radius", "iterations", "border", "tile",
-                     "interpret"),
-)
-def nms_tile_reduce(
+def _run_nms_kernel(
     heatmap: jax.Array,
     conf_thresh: float,
     radius: int,
-    iterations: int = 3,
-    border: int = 4,
-    tile: int | None = None,
-    interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """Fused threshold + iterative NMS + border + tile max/argmax.
-
-    Args:
-      heatmap: `(B, H, W)` float32.
-      tile: tile edge (defaults to `radius`; one NMS survivor per tile).
-
-    Returns:
-      (tile_max `(B, H/t * W/t)`, tile_arg `(B, H/t * W/t)` int32) in the
-      (row-tile, col-tile) scan order with `arg = dy * t + dx`.
-    """
+    iterations: int,
+    border: int,
+    t: int,
+    interpret: bool,
+) -> jax.Array:
+    """Run the blocked NMS kernel, returning the suppressed `(B, H, W)` map."""
     B, H, W = heatmap.shape
-    t = tile or max(int(radius), 1)
     assert H % t == 0 and W % t == 0, "pad the heatmap to tile multiples"
     halo = -(-((2 * iterations - 1) * radius) // 8) * 8
     # largest row block <= 256 dividing H, multiple of t, larger than halo
@@ -209,7 +194,66 @@ def nms_tile_reduce(
         ],
         interpret=interpret,
     )(heatmap.astype(jnp.float32))
+    return nmsed
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("conf_thresh", "radius", "iterations", "border", "tile",
+                     "interpret"),
+)
+def nms_tile_reduce(
+    heatmap: jax.Array,
+    conf_thresh: float,
+    radius: int,
+    iterations: int = 3,
+    border: int = 4,
+    tile: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused threshold + iterative NMS + border + tile max/argmax.
+
+    Args:
+      heatmap: `(B, H, W)` float32.
+      tile: tile edge (defaults to `radius`; one NMS survivor per tile).
+
+    Returns:
+      (tile_max `(B, H/t * W/t)`, tile_arg `(B, H/t * W/t)` int32) in the
+      (row-tile, col-tile) scan order with `arg = dy * t + dx`.
+    """
+    t = tile or max(int(radius), 1)
+    nmsed = _run_nms_kernel(
+        heatmap, conf_thresh, radius, iterations, border, t, interpret
+    )
     return _tile_reduce_window(nmsed, t)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("conf_thresh", "radius", "iterations", "border", "tile",
+                     "interpret"),
+)
+def nms_tile_keys(
+    heatmap: jax.Array,
+    conf_thresh: float,
+    radius: int,
+    iterations: int = 3,
+    border: int = 4,
+    tile: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused NMS + tile reduction to order-preserving int32 keys.
+
+    The serving fast path: each key packs the survivor's score (top
+    mantissa bits, 2^-19-relative quantization) and its in-tile position
+    (low bits), so a single top-k over the keys yields scores, tile ids AND
+    in-tile offsets with no gather. Zero keys mean an empty tile.
+    """
+    t = tile or max(int(radius), 1)
+    nmsed = _run_nms_kernel(
+        heatmap, conf_thresh, radius, iterations, border, t, interpret
+    )
+    return _tile_keys(nmsed, t)
 
 
 def _tile_reduce_window(nmsed: jax.Array, t: int) -> tuple[jax.Array, jax.Array]:
@@ -235,6 +279,21 @@ def _tile_reduce_window(nmsed: jax.Array, t: int) -> tuple[jax.Array, jax.Array]
         )
 
     tile_max = pool(nmsed, -jnp.inf)
+    tile_key = _tile_keys(nmsed, t)
+    tile_arg = jnp.where(tile_key > 0, tile_key & pos_mask, 0)
+    n = (H // t) * (W // t)
+    return tile_max.reshape(B, n), tile_arg.reshape(B, n)
+
+
+def _tile_keys(nmsed: jax.Array, t: int) -> jax.Array:
+    """Pool the order-preserving int32 keys: score bits with the low
+    `pos_bits` mantissa bits replaced by the in-tile position. One
+    reduce_window carries BOTH the (2^-19-relative quantized) score and the
+    argmax — `extract_keypoints` top-ks the keys directly, so no per-point
+    gather is ever needed."""
+    B, H, W = nmsed.shape
+    pos_bits = max((t * t - 1).bit_length(), 1)
+    pos_mask = (1 << pos_bits) - 1
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     pos = (ys % t) * t + xs % t  # dy * t + dx, the tile_arg convention
@@ -243,10 +302,10 @@ def _tile_reduce_window(nmsed: jax.Array, t: int) -> tuple[jax.Array, jax.Array]
         (jax.lax.bitcast_convert_type(nmsed, jnp.int32) & ~pos_mask) | pos[None],
         0,
     )
-    tile_key = pool(key, jnp.iinfo(jnp.int32).min)
-    tile_arg = jnp.where(tile_key > 0, tile_key & pos_mask, 0)
-    n = (H // t) * (W // t)
-    return tile_max.reshape(B, n), tile_arg.reshape(B, n)
+    return jax.lax.reduce_window(
+        key, jnp.iinfo(jnp.int32).min, jax.lax.max,
+        window_dimensions=(1, t, t), window_strides=(1, t, t), padding="VALID",
+    ).reshape(B, (H // t) * (W // t))
 
 
 def pallas_available() -> bool:
