@@ -119,25 +119,66 @@ def descriptor_loss_sparse(
     pos_hinge = jnp.clip(1.0 - pos_prod.reshape(-1), 0.0) * w_flat
     match_loss = pos_hinge.sum() / jnp.maximum(w_flat.sum(), 1.0)
 
-    # negatives: random batch-pool indices per (neg_slot, match)
     N = B * num_samples_per_image
     Kneg = num_masked_non_matches_per_match
-    d_a_flat = d_a.reshape(N, D)
-    d_b_flat = d_b.reshape(N, D)
-    rand_idx = jax.random.randint(k_neg, (Kneg, N), 0, N)
-    ordered = jnp.arange(N)[None, :]
-    # avoid accidental self-matches: shift colliding indices by 1 (mod N)
-    rand_idx = jnp.where(rand_idx == ordered, (rand_idx + 1) % N, rand_idx)
-
-    d_neg = d_b_flat[rand_idx]                       # (Kneg, N, D)
-    neg_prod = (d_a_flat[None] * d_neg).sum(-1)      # (Kneg, N)
-    # pairs are valid when both the query and the sampled negative are valid
-    pair_w = w_flat[None, :] * w_flat[rand_idx]
+    neg_prod, pair_w, _ = _group_negative_products(
+        k_neg, d_a.reshape(N, D), d_b.reshape(N, D), w_flat, Kneg
+    )
     neg_hinge = jnp.clip(neg_prod - 0.1, 0.0) * pair_w
     num_hard = jnp.count_nonzero(neg_hinge).astype(jnp.float32)
     neg_loss = neg_hinge.sum() / (num_hard + 1.0)
 
     return match_loss + neg_loss
+
+
+def _group_negative_products(
+    k_neg,
+    d_a_flat: jax.Array,
+    d_b_flat: jax.Array,
+    w_flat: jax.Array,
+    num_neg: int,
+    group: int = 128,
+):
+    """Negative dot products with negatives shared per query GROUP.
+
+    Per-query iid negatives (`d_b_flat[rand_idx]` with a `(K, N)` index
+    matrix) force XLA into millions of row point-gathers whose backward is a
+    giant serial scatter-add — seconds per step on TPU at training sizes.
+    Sharing one negative set across each group of `group` queries keeps the
+    same uniform marginal distribution (negatives merely correlate within a
+    group — standard shared-negative contrastive practice) and turns the
+    whole thing into `(group, D) @ (D, K)` MXU matmuls with only
+    `N/group * K` row gathers.
+
+    Returns (neg_prod `(Npad, K)`, pair_w `(Npad, K)` with self-pairs and
+    invalid pairs zeroed, padded query weights `(Npad,)`), Npad = N rounded
+    up to `group`.
+    """
+    N, D = d_a_flat.shape
+    Npad = -(-N // group) * group
+    pad = Npad - N
+    w_q = jnp.pad(w_flat, (0, pad)) if pad else w_flat
+    if pad:
+        d_a_flat = jnp.pad(d_a_flat, ((0, pad), (0, 0)))
+    G = Npad // group
+    idx = jax.random.randint(k_neg, (G, num_neg), 0, N)          # (G, K)
+    d_neg = d_b_flat[idx]                                        # (G, K, D)
+    neg_prod = jnp.einsum(
+        "gsd,gkd->gsk", d_a_flat.reshape(G, group, D), d_neg,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    q_idx = jnp.arange(Npad).reshape(G, group, 1)
+    self_pair = idx[:, None, :] == q_idx                         # (G, group, K)
+    pair_w = (
+        w_q.reshape(G, group, 1)
+        * w_flat[idx][:, None, :]
+        * (~self_pair).astype(w_flat.dtype)
+    )
+    return (
+        neg_prod.reshape(Npad, num_neg),
+        pair_w.reshape(Npad, num_neg),
+        w_q,
+    )
 
 
 def infonce_loss(
@@ -169,15 +210,18 @@ def infonce_loss(
     d_b_flat = d_b.reshape(N, D)
     w_flat = w.reshape(N)
 
-    pos = (d_a_flat * d_b_flat).sum(-1, keepdims=True)  # (N, 1)
-    rand_idx = jax.random.randint(k_neg, (N, Kneg), 0, N)
-    ordered = jnp.arange(N)[:, None]
-    rand_idx = jnp.where(rand_idx == ordered, (rand_idx + 1) % N, rand_idx)
-    neg = (d_a_flat[:, None, :] * d_b_flat[rand_idx]).sum(-1)  # (N, Kneg)
-
-    logits = jnp.concatenate([pos, neg], axis=1) / tau
+    pos = (d_a_flat * d_b_flat).sum(-1)                 # (N,)
+    neg_prod, pair_w, w_q = _group_negative_products(
+        k_neg, d_a_flat, d_b_flat, w_flat, Kneg
+    )
+    Npad = neg_prod.shape[0]
+    pos_pad = jnp.pad(pos, (0, Npad - N)) if Npad > N else pos
+    # self-pairs / invalid pairs must not act as negatives: -inf them out of
+    # the softmax (the reference re-rolls colliding indices, `:528-532`)
+    neg_masked = jnp.where(pair_w > 0.0, neg_prod, -1e9)
+    logits = jnp.concatenate([pos_pad[:, None], neg_masked], axis=1) / tau
     logp = jax.nn.log_softmax(logits, axis=1)[:, 0]
-    return -(logp * w_flat).sum() / jnp.maximum(w_flat.sum(), 1.0)
+    return -(logp * w_q).sum() / jnp.maximum(w_flat.sum(), 1.0)
 
 
 def descriptor_loss_dense(
