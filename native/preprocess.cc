@@ -112,4 +112,64 @@ void yp_u8_to_f32(const uint8_t* src, float* dst, int64_t n) {
   for (int64_t i = 0; i < n; ++i) dst[i] = src[i] * kInv;
 }
 
+// Inverse perspective warp with a NORMALIZED-coords homography — exact
+// host twin of the device `ops.geometry.warp_image` (align_corners grid,
+// zero padding; mode 0 = bilinear, 1 = nearest). TPUs lower per-pixel
+// gathers poorly (~0.9 s per 640px batch-32 warp), so the training data
+// path warps on host CPU workers, overlapped with device compute — the
+// reference's architecture (cv2.warpPerspective on loader workers,
+// /root/reference/src/utils/utils.py:333-398).
+void yp_warp_perspective_f32(const float* src, int h, int w, int c,
+                             const float* hinv,  // 3x3 row-major
+                             float* dst, int mode) {
+  const float nx = w > 1 ? 2.0f / (w - 1) : 0.0f;
+  const float ny = h > 1 ? 2.0f / (h - 1) : 0.0f;
+  for (int y = 0; y < h; ++y) {
+    const float yn = -1.0f + y * ny;
+    float* out_row = dst + static_cast<size_t>(y) * w * c;
+    for (int x = 0; x < w; ++x) {
+      const float xn = -1.0f + x * nx;
+      const float sxn = hinv[0] * xn + hinv[1] * yn + hinv[2];
+      const float syn = hinv[3] * xn + hinv[4] * yn + hinv[5];
+      const float d = hinv[6] * xn + hinv[7] * yn + hinv[8];
+      const float inv = 1.0f / d;
+      const float sx = (sxn * inv + 1.0f) * 0.5f * (w - 1);
+      const float sy = (syn * inv + 1.0f) * 0.5f * (h - 1);
+      float* out = out_row + static_cast<size_t>(x) * c;
+      if (mode == 1) {  // nearest (floor(x + 0.5), like the device twin)
+        const int xi = static_cast<int>(std::floor(sx + 0.5f));
+        const int yi = static_cast<int>(std::floor(sy + 0.5f));
+        if (xi < 0 || xi > w - 1 || yi < 0 || yi > h - 1) {
+          for (int k = 0; k < c; ++k) out[k] = 0.0f;
+        } else {
+          const float* p = src + (static_cast<size_t>(yi) * w + xi) * c;
+          for (int k = 0; k < c; ++k) out[k] = p[k];
+        }
+        continue;
+      }
+      const float fx = std::floor(sx);
+      const float fy = std::floor(sy);
+      const float wx = sx - fx;
+      const float wy = sy - fy;
+      const int x0 = static_cast<int>(fx);
+      const int y0 = static_cast<int>(fy);
+      float acc[16] = {0};  // c <= 16 in practice (RGB / masks)
+      const int cc = c < 16 ? c : 16;
+      for (int dy = 0; dy < 2; ++dy) {
+        const int yi = y0 + dy;
+        if (yi < 0 || yi > h - 1) continue;
+        const float wyv = dy ? wy : 1.0f - wy;
+        for (int dx = 0; dx < 2; ++dx) {
+          const int xi = x0 + dx;
+          if (xi < 0 || xi > w - 1) continue;
+          const float wv = wyv * (dx ? wx : 1.0f - wx);
+          const float* p = src + (static_cast<size_t>(yi) * w + xi) * c;
+          for (int k = 0; k < cc; ++k) acc[k] += wv * p[k];
+        }
+      }
+      for (int k = 0; k < cc; ++k) out[k] = acc[k];
+    }
+  }
+}
+
 }  // extern "C"

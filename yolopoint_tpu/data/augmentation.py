@@ -145,7 +145,11 @@ def _warp_boxes_pix(
     br = xyxy[..., 2:4]
     tl_w = jax.vmap(warp_points)(tl, inv_h_pix)
     br_w = jax.vmap(warp_points)(br, inv_h_pix)
-    new_xyxy = jnp.concatenate([tl_w, br_w], axis=-1)
+    # reorder corners — homographies with a flip component (host path
+    # composes flips into H) swap left/right and top/bottom
+    new_xyxy = jnp.concatenate(
+        [jnp.minimum(tl_w, br_w), jnp.maximum(tl_w, br_w)], axis=-1
+    )
     clipped = clip_boxes(new_xyxy, (height, width))
     keep = box_candidates_mask(clipped, new_xyxy) & box_mask
     return clipped, keep
@@ -208,6 +212,8 @@ def homographic_augment(
     crop_yx: Optional[jax.Array] = None,
     crop_hw: Optional[tuple[int, int]] = None,
     valid_src: Optional[jax.Array] = None,
+    warped_image: Optional[jax.Array] = None,
+    warped_valid: Optional[jax.Array] = None,
 ) -> AugmentedView:
     """Produce one warped view from per-image homographies.
 
@@ -228,19 +234,28 @@ def homographic_augment(
       valid_src: optional full-frame `(B, H, W)` validity to warp (nearest)
         instead of synthesizing an all-ones mask (the mosaic canvas mask,
         `DataClasses.py:318-334`).
+      warped_image / warped_valid: precomputed warped image + valid mask in
+        the output (crop) frame — the host-warp data path
+        (`data.host_augment`) supplies these so the device step skips the
+        per-pixel warp gathers; labels/points/boxes still derive from
+        `homography` here.
     """
     B, Hf, Wf, _ = images.shape
     if homography is None:
         params = dict(hom_params or {})
         homography = sample_homography_batch(key, B, **params)
     inv_homography = jnp.linalg.inv(homography)
+    precomputed = warped_image is not None
 
     if crop_yx is not None:
         assert crop_hw is not None, "crop_hw must be static when crop_yx is given"
         Hc, Wc = crop_hw
-        hom_big = crop_conjugate_homography(homography, crop_yx, crop_hw, (Hf, Wf))
-        warped_image = _crop_images(warp_image(images, hom_big), crop_yx, crop_hw)
-        if valid_src is not None:
+        if not precomputed:
+            hom_big = crop_conjugate_homography(homography, crop_yx, crop_hw, (Hf, Wf))
+            warped_image = _crop_images(warp_image(images, hom_big), crop_yx, crop_hw)
+        if warped_valid is not None:
+            valid_mask = warped_valid
+        elif valid_src is not None:
             vm = warp_image(valid_src[..., None], hom_big, mode="nearest")[..., 0]
             valid_mask = _crop_images(vm[..., None], crop_yx, crop_hw)[..., 0]
             valid_mask = valid_mask.at[:, :1].set(0).at[:, -1:].set(0)
@@ -255,8 +270,11 @@ def homographic_augment(
         )
     else:
         Hc, Wc = Hf, Wf
-        warped_image = warp_image(images, homography)
-        if valid_src is not None:
+        if not precomputed:
+            warped_image = warp_image(images, homography)
+        if warped_valid is not None:
+            valid_mask = warped_valid
+        elif valid_src is not None:
             vm = warp_image(valid_src[..., None], homography, mode="nearest")[..., 0]
             valid_mask = vm.at[:, :1].set(0).at[:, -1:].set(0)
             valid_mask = valid_mask.at[:, :, :1].set(0).at[:, :, -1:].set(0)
@@ -335,6 +353,7 @@ def build_training_views(
     config: Mapping[str, Any],
     crop_yx: Optional[jax.Array] = None,
     mosaic: bool = False,
+    precomputed: Optional[Mapping[str, jax.Array]] = None,
 ) -> tuple[AugmentedView, AugmentedView]:
     """Produce the (base, warped) training pair from raw host batches.
 
@@ -353,7 +372,21 @@ def build_training_views(
     `config` is the `data.augmentation` YAML subtree. In crop/mosaic mode
     `images` is the full frame and `crop_hw` comes from
     `homographic.cropHW` (mosaic: full frame is 2x the output, center crop).
+
+    `precomputed` (the host-warp path, `data.host_augment`): a mapping with
+    `image_base`, `valid_base`, `image_pair`, `valid_pair` (warped on host
+    CPU workers with the native C++ warp), `h1`, `h2` (normalized-coords
+    homographies; any flip is composed into h1). The device step then skips
+    every full-image warp gather and applies photometric AFTER the warp
+    (pointwise color ops commute with bilinear resampling; the valid masks
+    re-zero the padding), while points/boxes/labels still derive from
+    h1/h2 here.
     """
+    if precomputed is not None:
+        return _views_from_precomputed(
+            key, images, points, point_mask, boxes, box_mask, config,
+            precomputed, crop_yx=crop_yx, mosaic=mosaic,
+        )
     B, Hf, Wf, _ = images.shape
     k_ph_light, k_ph1, k_ph2, k_hom1, k_hom2, k_flip = jax.random.split(key, 6)
 
@@ -433,4 +466,100 @@ def build_training_views(
     if phot_enabled:
         pair_phot = (warp_cfg.get("photometric") or {}).get("params") or phot_params
         warped = warped._replace(image=photometric_augment(k_ph2, warped.image, pair_phot))
+    return base, warped
+
+
+def _coverage_mask(
+    out_hw: tuple[int, int],
+    homography: jax.Array,
+    crop_yx: Optional[jax.Array],
+    full_hw: tuple[int, int],
+) -> jax.Array:
+    """Analytic warp-coverage mask — which output pixels map inside the
+    source frame. Pure coordinate math (no gather): output pixel ->
+    (full-frame) normalized coords -> H -> inside-[-1,1]^2 test. Used by the
+    host-warp path to re-zero padding after post-warp photometric ops."""
+    Hc, Wc = out_hw
+    Hf, Wf = full_hw
+    B = homography.shape[0]
+    xs = jax.lax.broadcasted_iota(jnp.float32, (Hc, Wc), 1)[None]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (Hc, Wc), 0)[None]
+    if crop_yx is not None:
+        xs = xs + crop_yx[:, 1].astype(jnp.float32)[:, None, None]
+        ys = ys + crop_yx[:, 0].astype(jnp.float32)[:, None, None]
+    xn = -1.0 + 2.0 * xs / max(Wf - 1, 1)
+    yn = -1.0 + 2.0 * ys / max(Hf - 1, 1)
+    h = homography.reshape(B, 3, 3)
+    d = h[:, 2, 0, None, None] * xn + h[:, 2, 1, None, None] * yn + h[:, 2, 2, None, None]
+    sx = (h[:, 0, 0, None, None] * xn + h[:, 0, 1, None, None] * yn + h[:, 0, 2, None, None]) / d
+    sy = (h[:, 1, 0, None, None] * xn + h[:, 1, 1, None, None] * yn + h[:, 1, 2, None, None]) / d
+    eps = 1e-6
+    return (
+        (jnp.abs(sx) <= 1.0 + eps) & (jnp.abs(sy) <= 1.0 + eps)
+    ).astype(jnp.float32)
+
+
+def _views_from_precomputed(
+    key, images, points, point_mask, boxes, box_mask, config, pre,
+    crop_yx=None, mosaic: bool = False,
+) -> tuple[AugmentedView, AugmentedView]:
+    """Assemble (base, warped) views when the loader host-warped the images
+    (see `build_training_views` docstring and `data.host_augment`)."""
+    B, Hf, Wf, _ = images.shape
+    k_ph_light, k_ph1, k_ph2 = jax.random.split(key, 3)
+
+    phot_cfg = (config.get("photometric") or {})
+    phot_params = phot_cfg.get("params") or {}
+    phot_light = phot_cfg.get("params_light")
+    phot_enabled = bool(phot_cfg.get("enable", False))
+    hom_cfg = (config.get("homographic") or {})
+
+    crop_hw = None
+    if crop_yx is not None:
+        crop_hw = (Hf // 2, Wf // 2) if mosaic \
+            else tuple(hom_cfg.get("cropHW") or (Hf, Wf))
+
+    def as_float(img):
+        return img.astype(jnp.float32) / 255.0 if img.dtype == jnp.uint8 else img
+
+    h1 = pre["h1"].astype(jnp.float32)
+    h2 = pre["h2"].astype(jnp.float32)
+    h12 = jnp.matmul(h1, h2, precision=HI)
+
+    base = homographic_augment(
+        None, images, points, point_mask, boxes, box_mask,
+        homography=h1, crop_yx=crop_yx, crop_hw=crop_hw,
+        warped_image=as_float(pre["image_base"]),
+        warped_valid=pre["valid_base"].astype(jnp.float32),
+    )
+    warped = homographic_augment(
+        None, images, points, point_mask, boxes, box_mask,
+        homography=h12, crop_yx=crop_yx, crop_hw=crop_hw,
+        warped_image=as_float(pre["image_pair"]),
+        warped_valid=pre["valid_pair"].astype(jnp.float32),
+    )
+    warped = warped._replace(homography=h2, inv_homography=jnp.linalg.inv(h2))
+
+    if phot_enabled:
+        out_hw = crop_hw or (Hf, Wf)
+        if crop_yx is not None:
+            big1 = crop_conjugate_homography(h1, crop_yx, crop_hw, (Hf, Wf))
+            big12 = crop_conjugate_homography(h12, crop_yx, crop_hw, (Hf, Wf))
+            cov_b = _coverage_mask(out_hw, big1, crop_yx, (Hf, Wf))
+            cov_p = _coverage_mask(out_hw, big12, crop_yx, (Hf, Wf))
+        else:
+            cov_b = _coverage_mask(out_hw, h1, None, (Hf, Wf))
+            cov_p = _coverage_mask(out_hw, h12, None, (Hf, Wf))
+        b_img, p_img = base.image, warped.image
+        if phot_light is not None:
+            # the reference applies ONE shared light pass to the pre-warp
+            # image (`DataClasses.py:211-218`); same key -> same params here
+            b_img = photometric_augment(k_ph_light, b_img, phot_light)
+            p_img = photometric_augment(k_ph_light, p_img, phot_light)
+        pair_phot = ((config.get("warped_pair") or {}).get("photometric") or {}) \
+            .get("params") or phot_params
+        b_img = photometric_augment(k_ph1, b_img, phot_params) * cov_b[..., None]
+        p_img = photometric_augment(k_ph2, p_img, pair_phot) * cov_p[..., None]
+        base = base._replace(image=b_img)
+        warped = warped._replace(image=p_img)
     return base, warped

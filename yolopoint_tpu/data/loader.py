@@ -78,6 +78,7 @@ class DataLoader:
         prefetch: int = 2,
         steps_per_epoch: Optional[int] = None,
         num_workers: Optional[int] = None,
+        host_augment_config: Optional[dict] = None,
     ):
         self.datasets = list(datasets)
         self.sizes = [len(d) for d in self.datasets]
@@ -91,6 +92,10 @@ class DataLoader:
         self.num_workers = num_workers or min(max((os.cpu_count() or 4) - 2, 2), 16)
         self.steps_per_epoch = steps_per_epoch or max(self.total // batch_size, 1)
         self.weights = length_normalized_weights(self.sizes) if len(self.datasets) > 1 else None
+        # data.augmentation subtree -> warp base/pair views on host workers
+        # (native C++ warp; see data.host_augment) instead of on device
+        self.host_augment_config = host_augment_config
+        self._host_rng = np.random.default_rng(seed + 7919)
         self._offsets = np.cumsum([0] + self.sizes)
         # per-batch mosaic probability (see module docstring)
         self.mosaic_prob = max(
@@ -135,4 +140,12 @@ class DataLoader:
                 if nxt < len(rows):
                     pending.append(submit(nxt))
                 samples = [f.result() for f in futs]
-                yield pad_collate(samples, self.max_points, self.max_boxes)
+                batch = pad_collate(samples, self.max_points, self.max_boxes)
+                if self.host_augment_config is not None:
+                    from yolopoint_tpu.data.host_augment import host_warp_views
+
+                    batch = host_warp_views(
+                        batch, self.host_augment_config, self._host_rng,
+                        executor=ex,
+                    )
+                yield batch

@@ -60,6 +60,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(i32), ctypes.POINTER(i32), ctypes.POINTER(ctypes.c_float),
     ]
     lib.yp_u8_to_f32.argtypes = [u8p, f32p, ctypes.c_int64]
+    lib.yp_warp_perspective_f32.argtypes = [f32p, i32, i32, i32, f32p, f32p, i32]
     lib.yp_cov_pack_upper.argtypes = [f32p, i32, f32p]
     lib.yp_cov_unpack_upper.argtypes = [f32p, i32, f32p]
     lib.yp_cov_packed_size.argtypes = [i32]
@@ -127,6 +128,54 @@ def u8_to_f32(img: np.ndarray) -> np.ndarray:
     out = np.empty(img.shape, np.float32)
     lib.yp_u8_to_f32(_u8ptr(img), _f32ptr(out), img.size)
     return out
+
+
+def warp_perspective_f32(
+    img: np.ndarray, hinv: np.ndarray, mode: str = "bilinear"
+) -> np.ndarray:
+    """Inverse-warp an `(H, W, C)` float32 image by a NORMALIZED-coords
+    homography — host twin of `ops.geometry.warp_image` (align_corners,
+    zero padding). Requires the native library (auto-built on import)."""
+    lib = _load()
+    img = np.ascontiguousarray(img, np.float32)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, c = img.shape
+    hinv = np.ascontiguousarray(hinv, np.float32).reshape(9)
+    out = np.empty_like(img)
+    if lib is None:  # pure-numpy fallback (slow; tests/no-toolchain hosts)
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        xn = -1.0 + 2.0 * xs / max(w - 1, 1)
+        yn = -1.0 + 2.0 * ys / max(h - 1, 1)
+        H3 = hinv.reshape(3, 3)
+        d = H3[2, 0] * xn + H3[2, 1] * yn + H3[2, 2]
+        sx = ((H3[0, 0] * xn + H3[0, 1] * yn + H3[0, 2]) / d + 1) * 0.5 * (w - 1)
+        sy = ((H3[1, 0] * xn + H3[1, 1] * yn + H3[1, 2]) / d + 1) * 0.5 * (h - 1)
+        if mode == "nearest":
+            xi = np.floor(sx + 0.5).astype(np.int64)
+            yi = np.floor(sy + 0.5).astype(np.int64)
+            inside = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            out = img[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)]
+            out[~inside] = 0.0
+        else:
+            x0 = np.floor(sx); y0 = np.floor(sy)
+            wx = (sx - x0)[..., None]; wy = (sy - y0)[..., None]
+            out = np.zeros_like(img)
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    xi = x0.astype(np.int64) + dx
+                    yi = y0.astype(np.int64) + dy
+                    inside = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))[..., None]
+                    v = img[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)]
+                    wgt = (wx if dx else 1 - wx) * (wy if dy else 1 - wy)
+                    out = out + np.where(inside, wgt * v, 0.0)
+        return out[..., 0] if squeeze else out.astype(np.float32)
+    lib.yp_warp_perspective_f32(
+        _f32ptr(img), h, w, c, _f32ptr(hinv), _f32ptr(out),
+        1 if mode == "nearest" else 0,
+    )
+    return out[..., 0] if squeeze else out
 
 
 def cov_pack_upper(full: np.ndarray) -> np.ndarray:

@@ -59,10 +59,18 @@ def _matched_coords(
     coords (rounded like the reference `:391`), weight (B,N) in {0,1}).
     """
     B, Hc, Wc, _ = desc_shape
-    # inverse-warp the warped-frame valid mask into the base frame, then
-    # downscale to cells with an all-pixels-valid product (`:384-387`)
-    m = warp_image(valid_mask_warp[..., None], inv_homographies, mode="nearest")[..., 0]
-    m_cells = cell_valid_mask(m, cell_size)  # (B, Hc, Wc)
+    # inverse-warp the warped-frame valid mask into the base frame at CELL
+    # resolution: pool to cells first (all-pixels-valid product), then warp
+    # the (Hc, Wc) cell mask. The reference warps the full-res mask and then
+    # pools (`:384-387`) — full-res warps are per-pixel gathers (~0.9 s per
+    # step at B=32/640px on TPU) and the two orders differ only on cells
+    # clipped by the warp boundary, which merely reweights a few samples.
+    m_cells_w = cell_valid_mask(valid_mask_warp, cell_size)      # (B, Hc, Wc)
+    # normalized-coords homographies are resolution-independent: warp the
+    # cell-resolution mask directly
+    m_cells = warp_image(
+        m_cells_w[..., None], inv_homographies, mode="nearest"
+    )[..., 0]
 
     uv_a = _sample_cell_coords(key, B, Hc, Wc, num_samples)  # (B, N, 2)
     # weight by cell validity at the sampled location

@@ -75,7 +75,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
-    """Device-put a host batch pytree with the batch dim sharded."""
-    sh = data_sharding(mesh, axis)
+def shard_batch(
+    batch: Any, mesh: Mesh, axis: str = DATA_AXIS, leading_stack: bool = False
+) -> Any:
+    """Device-put a host batch pytree with the batch dim sharded.
+
+    `leading_stack=True`: leaves carry a leading scan/step dim (see
+    `training.step.make_multi_step`) — the SECOND dim is the sharded batch.
+    """
+    if leading_stack:
+        sh = NamedSharding(mesh, P(None, axis))
+    else:
+        sh = data_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

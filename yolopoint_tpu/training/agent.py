@@ -177,12 +177,20 @@ class TrainAgent:
         )
 
         aug_config = cfg_get(config, "data.augmentation", {}) or {}
+        # steps_per_dispatch > 1: scan K optimizer steps per device dispatch
+        # (amortizes launch overhead; pairs with the loader host-warp path)
+        self.steps_per_dispatch = max(int(tp.get("steps_per_dispatch", 1)), 1)
         self.train_step = make_train_step(
             self.model, self.mesh, aug_config, self.obj_cfg, self.weights, self.nc,
+            donate=self.steps_per_dispatch == 1,
             ema_decay=float(ema_cfg.get("decay", 0.9999)),
             ema_tau=float(ema_cfg.get("tau", 2000.0)),
             remat=bool(tp.get("remat", False)),
         )
+        if self.steps_per_dispatch > 1:
+            from yolopoint_tpu.training.step import make_multi_step
+
+            self.multi_step = make_multi_step(self.train_step, self.steps_per_dispatch)
         self._aug_config = aug_config
         val_aug = cfg_get(config, "data.val_augmentation", None)
         self._val_step = make_val_step(
@@ -255,14 +263,30 @@ class TrainAgent:
         prof_start = int(self._profile.get("start_step", 10)) if self._profile else -1
         prof_stop = prof_start + int(self._profile.get("num_steps", 5)) if self._profile else -1
         for epoch in range(self.start_epoch, self.epochs):
+            pending: list = []
             for batch in self.train_loader:
                 if self.global_step == prof_start:
                     jax.profiler.start_trace(str(self.output_dir / "profile"))
                 batch.pop("names", None)
-                batch = shard_batch(batch, self.mesh)
-                self.rng, k = jax.random.split(self.rng)
-                self.state, aux = self.train_step(self.state, batch, k)
-                self.global_step += 1
+                if self.steps_per_dispatch > 1:
+                    pending.append(batch)
+                    if len(pending) < self.steps_per_dispatch:
+                        continue
+                    from yolopoint_tpu.training.step import stack_batches
+
+                    stacked = shard_batch(
+                        stack_batches(pending), self.mesh, leading_stack=True
+                    )
+                    pending = []
+                    self.rng, k = jax.random.split(self.rng)
+                    self.state, aux_all = self.multi_step(self.state, stacked, k)
+                    aux = {k_: v[-1] for k_, v in aux_all.items()}
+                    self.global_step += self.steps_per_dispatch
+                else:
+                    batch = shard_batch(batch, self.mesh)
+                    self.rng, k = jax.random.split(self.rng)
+                    self.state, aux = self.train_step(self.state, batch, k)
+                    self.global_step += 1
                 if self.global_step == prof_stop:
                     jax.block_until_ready(aux["loss"])
                     jax.profiler.stop_trace()

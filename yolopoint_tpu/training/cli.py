@@ -62,8 +62,15 @@ def main(argv=None):
         build_dataset(c["data"], "val", names, args.data_root, args.debug)
         for c in sub_cfgs
     ]
+    aug_cfg = (config.get("data") or {}).get("augmentation") or {}
+    # host_warp: true (default) -> base/pair views are warped by CPU workers
+    # with the native C++ kernel; the device step skips per-pixel warp
+    # gathers (see data.host_augment). Set false to keep the whole
+    # augmentation in the jitted step (self-contained single-program mode).
+    host_cfg = aug_cfg if bool(aug_cfg.get("host_warp", True)) else None
     train_loader = DataLoader(
-        train_sets, int(tp.get("train_batch_size", 8)), shuffle=True, seed=args.seed
+        train_sets, int(tp.get("train_batch_size", 8)), shuffle=True,
+        seed=args.seed, host_augment_config=host_cfg,
     )
     val_loader = DataLoader(
         val_sets, int(tp.get("val_batch_size", 8)), shuffle=False, seed=args.seed

@@ -142,6 +142,16 @@ def compute_losses(
     trading ~1/3 more FLOPs for the activation memory of one whole view
     (lets 640 px batches grow past HBM on a single chip)."""
     k_aug, k_desc = jax.random.split(rng)
+    pre = None
+    if "precomputed_h1" in batch:  # host-warp path (data.host_augment)
+        pre = {
+            "image_base": batch["precomputed_image_base"],
+            "valid_base": batch["precomputed_valid_base"],
+            "image_pair": batch["precomputed_image_pair"],
+            "valid_pair": batch["precomputed_valid_pair"],
+            "h1": batch["precomputed_h1"],
+            "h2": batch["precomputed_h2"],
+        }
     base, warped = build_training_views(
         k_aug,
         batch["image"],
@@ -152,6 +162,7 @@ def compute_losses(
         aug_config,
         crop_yx=batch.get("mosaic_crop_yx", batch.get("crop_yx")),
         mosaic="mosaic_crop_yx" in batch,
+        precomputed=pre,
     )
 
     mutable = ["batch_stats"] if train else []
@@ -323,3 +334,45 @@ def make_train_step(
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_step(step_fn, scan_steps: int):
+    """Wrap a train step into ONE jitted program running `scan_steps`
+    optimizer steps over a stacked batch (leading dim = step).
+
+    Dispatch overhead (host -> device program launch, argument traffic) is
+    paid once per `scan_steps` steps — the XLA-idiomatic train loop shape.
+    Pair with the loader's host-warp path: the host prepares K batches while
+    the device runs the previous K steps.
+
+    Args:
+      step_fn: result of `make_train_step` (donate=False recommended — the
+        scan carries the state internally).
+      scan_steps: K.
+
+    Returns:
+      jitted `(state, stacked_batch, rng) -> (state, aux)` where every leaf
+      of `stacked_batch` has a leading K dim and `aux` holds per-step
+      scalars stacked along the leading dim.
+    """
+
+    @jax.jit
+    def multi(state, stacked_batch, rng):
+        def one(st, inp):
+            i, batch = inp
+            st, aux = step_fn(st, batch, jax.random.fold_in(rng, i))
+            return st, aux
+
+        return jax.lax.scan(
+            one, state, (jnp.arange(scan_steps), stacked_batch)
+        )
+
+    return multi
+
+
+def stack_batches(batches) -> dict:
+    """Stack a list of same-shape batch dicts along a new leading dim."""
+    import numpy as np
+
+    keys = batches[0].keys()
+    return {k: np.stack([b[k] for b in batches]) for k in keys}
