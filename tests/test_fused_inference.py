@@ -96,3 +96,26 @@ def test_fused_bf16_close_to_f32(setup):
     # decoded xywh are in pixel units; obj/cls are sigmoids in [0,1]
     assert np.abs(dec[..., 4:] - ref_dec[..., 4:]).max() < 0.05
     assert np.abs(dec[..., :4] - ref_dec[..., :4]).max() < 2.5
+
+
+def test_uint8_ingest_matches_float():
+    """u8 batches are normalized on device and match the f32 path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolopoint_tpu.frontend.pipeline import InferencePipeline
+    from yolopoint_tpu.models import build_model
+
+    m = build_model("YOLOPointDet", "n", nc=1)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)), train=False)
+    pipe = InferencePipeline(m, v, {"top_k": 32}, compute_dtype=jnp.float32)
+    u8 = np.random.default_rng(0).integers(0, 256, (2, 64, 96, 3), np.uint8)
+    a = pipe(u8)
+    b = pipe(u8.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(
+        np.asarray(a["keypoints"]), np.asarray(b["keypoints"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["kp_scores"]), np.asarray(b["kp_scores"]), atol=1e-6
+    )

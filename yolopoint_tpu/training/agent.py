@@ -262,6 +262,24 @@ class TrainAgent:
     def train(self) -> None:
         prof_start = int(self._profile.get("start_step", 10)) if self._profile else -1
         prof_stop = prof_start + int(self._profile.get("num_steps", 5)) if self._profile else -1
+        def run_single(batch):
+            batch = shard_batch(batch, self.mesh)
+            self.rng, k = jax.random.split(self.rng)
+            self.state, aux = self.train_step(self.state, batch, k)
+            self.global_step += 1
+            return aux
+
+        def run_stacked(pending):
+            from yolopoint_tpu.training.step import stack_batches
+
+            stacked = shard_batch(
+                stack_batches(pending), self.mesh, leading_stack=True
+            )
+            self.rng, k = jax.random.split(self.rng)
+            self.state, aux_all = self.multi_step(self.state, stacked, k)
+            self.global_step += len(pending)
+            return {k_: v[-1] for k_, v in aux_all.items()}
+
         for epoch in range(self.start_epoch, self.epochs):
             pending: list = []
             for batch in self.train_loader:
@@ -269,24 +287,19 @@ class TrainAgent:
                     jax.profiler.start_trace(str(self.output_dir / "profile"))
                 batch.pop("names", None)
                 if self.steps_per_dispatch > 1:
+                    # only same-structure batches stack (mosaic batches carry
+                    # extra keys): flush the buffer on a structure change
+                    if pending and set(batch) != set(pending[0]):
+                        for b in pending:
+                            run_single(b)
+                        pending = []
                     pending.append(batch)
                     if len(pending) < self.steps_per_dispatch:
                         continue
-                    from yolopoint_tpu.training.step import stack_batches
-
-                    stacked = shard_batch(
-                        stack_batches(pending), self.mesh, leading_stack=True
-                    )
+                    aux = run_stacked(pending)
                     pending = []
-                    self.rng, k = jax.random.split(self.rng)
-                    self.state, aux_all = self.multi_step(self.state, stacked, k)
-                    aux = {k_: v[-1] for k_, v in aux_all.items()}
-                    self.global_step += self.steps_per_dispatch
                 else:
-                    batch = shard_batch(batch, self.mesh)
-                    self.rng, k = jax.random.split(self.rng)
-                    self.state, aux = self.train_step(self.state, batch, k)
-                    self.global_step += 1
+                    aux = run_single(batch)
                 if self.global_step == prof_stop:
                     jax.block_until_ready(aux["loss"])
                     jax.profiler.stop_trace()
@@ -299,6 +312,8 @@ class TrainAgent:
                         f"e{epoch} s{self.global_step} loss={scalars['loss']:.4f} "
                         f"({self.timer.mean*1e3:.0f} ms/step)"
                     )
+            for b in pending:  # leftover under-full dispatch buffer
+                run_single(b)
             val_scalars = self.validate(epoch) if self.val_loader is not None else {}
             fitness = val_scalars.get("fitness", -1.0)
             best = fitness > self.best_fitness
