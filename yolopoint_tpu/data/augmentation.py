@@ -250,8 +250,9 @@ def homographic_augment(
     if crop_yx is not None:
         assert crop_hw is not None, "crop_hw must be static when crop_yx is given"
         Hc, Wc = crop_hw
-        if not precomputed:
+        if not precomputed or warped_valid is None:
             hom_big = crop_conjugate_homography(homography, crop_yx, crop_hw, (Hf, Wf))
+        if not precomputed:
             warped_image = _crop_images(warp_image(images, hom_big), crop_yx, crop_hw)
         if warped_valid is not None:
             valid_mask = warped_valid
@@ -554,12 +555,14 @@ def _views_from_precomputed(
         if phot_light is not None:
             # the reference applies ONE shared light pass to the pre-warp
             # image (`DataClasses.py:211-218`); same key -> same params here
-            b_img = photometric_augment(k_ph_light, b_img, phot_light)
-            p_img = photometric_augment(k_ph_light, p_img, phot_light)
+            b_img = photometric_augment(k_ph_light, b_img, phot_light, cov_b)
+            p_img = photometric_augment(k_ph_light, p_img, phot_light, cov_p)
         pair_phot = ((config.get("warped_pair") or {}).get("photometric") or {}) \
             .get("params") or phot_params
-        b_img = photometric_augment(k_ph1, b_img, phot_params) * cov_b[..., None]
-        p_img = photometric_augment(k_ph2, p_img, pair_phot) * cov_p[..., None]
+        # blur-type ops use the coverage as a support mask (normalized conv)
+        # so padding can't smear inward; pointwise ops commute with the warp
+        b_img = photometric_augment(k_ph1, b_img, phot_params, cov_b) * cov_b[..., None]
+        p_img = photometric_augment(k_ph2, p_img, pair_phot, cov_p) * cov_p[..., None]
         base = base._replace(image=b_img)
         warped = warped._replace(image=p_img)
     return base, warped

@@ -25,6 +25,7 @@ Enable with `data.augmentation.host_warp: true`.
 
 from __future__ import annotations
 
+import functools
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Mapping, Optional
 
@@ -34,6 +35,19 @@ from yolopoint_tpu.data.native import warp_perspective_f32
 from yolopoint_tpu.ops.homography import sample_homography_np
 
 _NORM_SHAPE = np.array([2.0, 2.0])  # shift=-1 => homographies in [-1,1]^2
+
+
+@functools.lru_cache(maxsize=8)
+def _mosaic_canvas_np(full_hw: tuple[int, int], border: int = 2) -> np.ndarray:
+    """numpy twin of `data.augmentation.mosaic_canvas_mask` — the loader
+    thread must not dispatch device work."""
+    Hf, Wf = full_hw
+    m = np.ones((Hf, Wf), np.float32)
+    for y in (0, Hf // 2, Hf):
+        m[max(y - border, 0):min(y + border, Hf)] = 0.0
+    for x in (0, Wf // 2, Wf):
+        m[:, max(x - border, 0):min(x + border, Wf)] = 0.0
+    return m
 
 
 def _flip_h(horizontal: bool, vertical: bool) -> np.ndarray:
@@ -107,9 +121,11 @@ def _one_image(img, aug_cfg, rng_seed, crop_yx, crop_hw, mosaic_src):
     margin = int(hom_cfg.get("valid_border_margin", 0))
     warp_cfg = aug_cfg.get("warped_pair") or {}
     warp_params = warp_cfg.get("params") or hom_params
-    pair_margin = int(warp_cfg.get("valid_border_margin", margin))
-    if mosaic_src is not None and (mcfg := hom_cfg.get("mosaic")):
-        hom_params = mcfg.get("params") or hom_params
+    # mosaic overrides mirror build_training_views exactly (each applied
+    # independently of the other's presence)
+    if mosaic_src is not None:
+        if mcfg := hom_cfg.get("mosaic"):
+            hom_params = mcfg.get("params") or hom_params
         if wm := warp_cfg.get("mosaic_params"):
             warp_params = wm
 
@@ -141,11 +157,10 @@ def _one_image(img, aug_cfg, rng_seed, crop_yx, crop_hw, mosaic_src):
         img_b = warp_perspective_f32(img, h1)
         vm_b = _valid_mask(h1, (Hf, Wf), margin, mosaic_src)
         img_p = warp_perspective_f32(img, h12)
-        # pair mask = base mask warped by h2 (reference `_get_warped_pair`)
+        # pair mask = base mask warped by h2, nothing more — the reference
+        # neither re-zeroes nor erodes it (`DataClasses.py:417-424`), and
+        # the device path matches
         vm_p = warp_perspective_f32(vm_b, h2, mode="nearest")
-        vm_p[0, :] = 0; vm_p[-1, :] = 0; vm_p[:, 0] = 0; vm_p[:, -1] = 0
-        if pair_margin > margin:
-            vm_p = _erode(vm_p, pair_margin)
         return img_b, vm_b, img_p, vm_p, h1, h2
 
     # crop mode: conjugate each crop-frame homography into the full frame,
@@ -156,10 +171,13 @@ def _one_image(img, aug_cfg, rng_seed, crop_yx, crop_hw, mosaic_src):
     h12_big = _compose_crop(h12, crop_pts)
     img_b = warp_perspective_f32(img, h1_big)[y0:y0 + hc, x0:x0 + wc]
     vm_b = _valid_mask(h1_big, (Hf, Wf), margin, mosaic_src)[y0:y0 + hc, x0:x0 + wc]
-    vm_b[0, :] = 0; vm_b[-1, :] = 0; vm_b[:, 0] = 0; vm_b[:, -1] = 0
+    if mosaic_src is not None:
+        # crop+mosaic device path zeroes a 1-px frame of the cropped canvas
+        # mask (`homographic_augment` crop/valid_src branch)
+        vm_b = vm_b.copy()
+        vm_b[0, :] = 0; vm_b[-1, :] = 0; vm_b[:, 0] = 0; vm_b[:, -1] = 0
     img_p = warp_perspective_f32(img, h12_big)[y0:y0 + hc, x0:x0 + wc]
     vm_p = warp_perspective_f32(vm_b, h2, mode="nearest")
-    vm_p[0, :] = 0; vm_p[-1, :] = 0; vm_p[:, 0] = 0; vm_p[:, -1] = 0
     return img_b, vm_b, img_p, vm_p, h1, h2
 
 
@@ -200,11 +218,7 @@ def host_warp_views(
         crop_hw = (Hf // 2, Wf // 2) if mosaic \
             else tuple(hom_cfg.get("cropHW") or (Hf, Wf))
 
-    mosaic_src = None
-    if mosaic:
-        from yolopoint_tpu.data.augmentation import mosaic_canvas_mask
-
-        mosaic_src = np.asarray(mosaic_canvas_mask((Hf, Wf)), np.float32)
+    mosaic_src = _mosaic_canvas_np((Hf, Wf)) if mosaic else None
 
     seeds = rng.integers(2**31, size=B)
     args = [
@@ -224,6 +238,9 @@ def host_warp_views(
         return np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
 
     out = dict(batch)
+    # the device step only reads batch["image"].shape in precomputed mode —
+    # ship a zero-channel stub (0 bytes) instead of the f32 frames
+    out["image"] = np.zeros((B, Hf, Wf, 0), np.uint8)
     out["precomputed_image_base"] = np.stack([to_u8(r[0]) for r in results])
     out["precomputed_valid_base"] = np.stack([r[1] for r in results]).astype(np.uint8)
     out["precomputed_image_pair"] = np.stack([to_u8(r[2]) for r in results])

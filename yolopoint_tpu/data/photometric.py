@@ -126,11 +126,30 @@ def additive_shade(
     return jnp.clip(images * (1.0 - transparency * mask), 0.0, 1.0)
 
 
-def photometric_augment(key: jax.Array, images: jax.Array, params: Mapping[str, Any]) -> jax.Array:
+def _masked_blur(blur_fn, x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Normalized convolution: blur only with in-support pixels so zero
+    padding outside `mask` cannot smear into the valid region (used by the
+    host-warp path, where photometric runs AFTER the warp)."""
+    m = mask[..., None] if mask.ndim == 3 else mask
+    num = blur_fn(x * m)
+    den = blur_fn(jnp.broadcast_to(m, x.shape))
+    return jnp.where(m > 0, num / jnp.maximum(den, 1e-6), x)
+
+
+def photometric_augment(
+    key: jax.Array,
+    images: jax.Array,
+    params: Mapping[str, Any],
+    support_mask: jax.Array | None = None,
+) -> jax.Array:
     """Apply the configured photometric menu to a batch.
 
     `params` follows the reference YAML (`random_brightness.max_abs_change`
     etc., 0-255 scale where the reference used uint8 semantics).
+    `support_mask` (`(B, H, W)` 0/1): restrict blur-type ops to in-support
+    pixels via normalized convolution — pointwise ops commute with image
+    warping but blurs do not, so post-warp photometric (the host-warp
+    training path) passes the warp-coverage mask here.
     """
     B = images.shape[0]
     keys = iter(jax.random.split(key, 20))
@@ -182,17 +201,28 @@ def photometric_augment(key: jax.Array, images: jax.Array, params: Mapping[str, 
         kd, ko = jax.random.split(next(keys))
         do = jax.random.bernoulli(kd, 0.5, (B, 1, 1, 1))
         horiz = jax.random.bernoulli(ko, 0.5, ())
-        C = x.shape[-1]
         line = jnp.ones((ksize,), jnp.float32) / ksize
-        kh = jnp.tile(line.reshape(-1, 1, 1, 1), (1, 1, 1, C))
-        kw_ = jnp.tile(line.reshape(1, -1, 1, 1), (1, 1, 1, C))
         r = ksize // 2
-        blur_v = jax.lax.conv_general_dilated(
-            x, kh, (1, 1), padding=((r, r), (0, 0)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
-        blur_h = jax.lax.conv_general_dilated(
-            x, kw_, (1, 1), padding=((0, 0), (r, r)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+
+        def mb_v(t):
+            kk = jnp.tile(line.reshape(-1, 1, 1, 1), (1, 1, 1, t.shape[-1]))
+            return jax.lax.conv_general_dilated(
+                t, kk, (1, 1), padding=((r, r), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=t.shape[-1])
+
+        def mb_h(t):
+            kk = jnp.tile(line.reshape(1, -1, 1, 1), (1, 1, 1, t.shape[-1]))
+            return jax.lax.conv_general_dilated(
+                t, kk, (1, 1), padding=((0, 0), (r, r)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=t.shape[-1])
+
+        if support_mask is not None:
+            blur_v = _masked_blur(mb_v, x, support_mask)
+            blur_h = _masked_blur(mb_h, x, support_mask)
+        else:
+            blur_v, blur_h = mb_v(x), mb_h(x)
         x = jnp.where(do, jnp.where(horiz, blur_h, blur_v), x)
     if p := params.get("hsv"):
         h_amp, s_amp, v_amp = p
@@ -210,7 +240,9 @@ def photometric_augment(key: jax.Array, images: jax.Array, params: Mapping[str, 
         sigma = p["sigma"] if isinstance(p, Mapping) else p
         # per-batch coin flip like iaa.Sometimes for blur-type augs
         do = jax.random.bernoulli(next(keys), 0.5, (B, 1, 1, 1))
-        x = jnp.where(do, gaussian_blur(x, float(sigma)), x)
+        gb = lambda t: gaussian_blur(t, float(sigma))
+        blurred = _masked_blur(gb, x, support_mask) if support_mask is not None else gb(x)
+        x = jnp.where(do, blurred, x)
     if p := params.get("additive_shade"):
         kwargs = dict(p) if isinstance(p, Mapping) else {}
         kwargs.pop("kernel_size_range", None)

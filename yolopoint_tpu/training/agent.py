@@ -278,12 +278,18 @@ class TrainAgent:
             self.rng, k = jax.random.split(self.rng)
             self.state, aux_all = self.multi_step(self.state, stacked, k)
             self.global_step += len(pending)
-            return {k_: v[-1] for k_, v in aux_all.items()}
+            # all K steps' scalars, averaged (v[-1] would alias loss curves)
+            return {k_: v.mean(axis=0) for k_, v in aux_all.items()}
 
+        self._profile_started = False
+        self._profile_stopped = False
+        self._next_log = 50
         for epoch in range(self.start_epoch, self.epochs):
             pending: list = []
             for batch in self.train_loader:
-                if self.global_step == prof_start:
+                if prof_start >= 0 and self.global_step >= prof_start \
+                        and not self._profile_started:
+                    self._profile_started = True
                     jax.profiler.start_trace(str(self.output_dir / "profile"))
                 batch.pop("names", None)
                 if self.steps_per_dispatch > 1:
@@ -300,17 +306,22 @@ class TrainAgent:
                     pending = []
                 else:
                     aux = run_single(batch)
-                if self.global_step == prof_stop:
+                # >= window checks: global_step advances by K per dispatch
+                if prof_stop > 0 and self.global_step >= prof_stop \
+                        and not self._profile_stopped:
+                    self._profile_stopped = True
                     jax.block_until_ready(aux["loss"])
                     jax.profiler.stop_trace()
                 dt = self.timer.tick()
-                if self.global_step % 50 == 0:
+                if self.global_step >= self._next_log:
+                    self._next_log = self.global_step + 50
+                    per_step = self.timer.mean / max(self.steps_per_dispatch, 1)
                     scalars = {k_: float(v) for k_, v in aux.items()}
-                    scalars["step_time"] = self.timer.mean
+                    scalars["step_time"] = per_step
                     self.metrics.write(self.global_step, scalars, prefix="training/")
                     LOGGER.info(
                         f"e{epoch} s{self.global_step} loss={scalars['loss']:.4f} "
-                        f"({self.timer.mean*1e3:.0f} ms/step)"
+                        f"({per_step*1e3:.0f} ms/step)"
                     )
             for b in pending:  # leftover under-full dispatch buffer
                 run_single(b)
@@ -353,7 +364,11 @@ class TrainAgent:
         n_batches = 0
         n_extended = 0
         n_panels = 0
-        panels_dir = self.output_dir / "plots" if self.config.get("val_plots") else None
+        vp = self.config.get("val_plots")
+        panels_dir = (
+            (Path(vp) if isinstance(vp, str) else self.output_dir / "plots")
+            if vp else None
+        )
         self.confusion = ConfusionMatrix(self.nc)
         val_key = jax.random.PRNGKey(self.val_seed)
 
@@ -362,8 +377,16 @@ class TrainAgent:
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             # deterministic per-batch augmentation (the reference seeds val
             # sampling by index, DataClasses.py:305,379)
+            # validate with the EMA weights when maintained — model selection
+            # must score the same weights the best-checkpoint restore serves
+            # (ultralytics validates the EMA model likewise)
+            val_params = (
+                self.state.ema_params
+                if getattr(self.state, "ema_params", None) is not None
+                else self.state.params
+            )
             out = self._val_step(
-                self.state.params, self.state.batch_stats, jb,
+                val_params, self.state.batch_stats, jb,
                 jax.random.fold_in(val_key, bi),
             )
             out = jax.tree_util.tree_map(np.asarray, out)
