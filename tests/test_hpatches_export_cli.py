@@ -98,3 +98,57 @@ def test_export_cli_writes_npz(tmp_path, rng):
     assert len(files) == 2
     pts = np.load(files[0])["pts"]
     assert pts.ndim == 2 and pts.shape[1] == 3  # [x, y, prob]
+
+
+def test_host_adaptation_matches_device(tmp_path):
+    """homography_adaptation_host == homography_adaptation_batch given the
+    same homographies (host C++ warps are exact twins of the device warp)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolopoint_tpu.export.homography_adaptation import (
+        homography_adaptation_batch, homography_adaptation_host,
+    )
+    from yolopoint_tpu.models import build_model
+    from yolopoint_tpu.ops.homography import sample_homography_np
+
+    m = build_model("YOLOPointDet", "n", nc=1)
+    H = W = 64
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), train=False)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    Hs = np.stack([np.eye(3)] + [
+        sample_homography_np(np.array([2.0, 2.0]), shift=-1.0, seed=i)
+        for i in range(3)
+    ])
+
+    pts_h, sc_h, va_h = homography_adaptation_host(
+        m, v, img, rng, conf_thresh=0.01, top_k=64, homographies=Hs,
+    )
+
+    # device path with the same injected homographies
+    import yolopoint_tpu.export.homography_adaptation as ha
+
+    def device_with_hs(image, Hs):
+        from yolopoint_tpu.ops.geometry import compute_valid_mask, warp_image
+        from yolopoint_tpu.ops.heatmap import cells_to_heatmap
+        from yolopoint_tpu.ops.keypoints import extract_keypoints
+
+        Hs = jnp.asarray(Hs, jnp.float32)
+        inv_Hs = jnp.linalg.inv(Hs)
+        N = Hs.shape[0]
+        imgs = warp_image(jnp.broadcast_to(image, (N, H, W, 3)), Hs)
+        masks = compute_valid_mask((H, W), Hs, erosion_radius=3)
+        out = m.apply(v, imgs, train=False)
+        heat = cells_to_heatmap(out["semi"].astype(jnp.float32)) * masks
+        heat_un = warp_image(heat[..., None], inv_Hs)[..., 0]
+        mask_un = warp_image(masks[..., None], inv_Hs)[..., 0]
+        agg = heat_un.sum(0) / jnp.maximum(mask_un.sum(0), 1e-6)
+        p, s, va = extract_keypoints(agg[None], 0.01, 4, 64)
+        return p[0], s[0], va[0]
+
+    pts_d, sc_d, va_d = map(np.asarray, device_with_hs(jnp.asarray(img), Hs))
+    set_h = {tuple(p) for p, ok in zip(pts_h, va_h) if ok}
+    set_d = {tuple(p) for p, ok in zip(pts_d, va_d) if ok}
+    common = len(set_h & set_d)
+    assert common >= 0.95 * max(len(set_h), len(set_d), 1)

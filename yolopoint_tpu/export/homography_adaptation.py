@@ -73,6 +73,81 @@ def homography_adaptation_batch(
     return pts[0], scores[0], valid[0]
 
 
+def homography_adaptation_host(
+    model,
+    variables: Mapping[str, Any],
+    image: np.ndarray,
+    rng: np.random.Generator,
+    num_homographies: int = 100,
+    conf_thresh: float = 0.015,
+    nms_radius: int = 4,
+    top_k: int = 1000,
+    hom_params: Optional[Mapping[str, Any]] = None,
+    erosion_radius: int = 3,
+    chunk: int = 25,
+    homographies: Optional[np.ndarray] = None,
+    _forward=None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-warp homographic adaptation: the device runs ONLY the batched
+    forwards; view warping, masking, inverse warping and aggregation run on
+    host CPU with the native C++ warp (`data.host_augment` rationale —
+    ~200 full-image gather warps per image otherwise dominate the device
+    program). Heatmaps stream back per chunk and overlap with the next
+    chunk's forward via async dispatch.
+
+    Same math as `homography_adaptation_batch`; `homographies` overrides
+    sampling for parity tests.
+    """
+    from yolopoint_tpu.data.host_augment import _NORM_SHAPE, _valid_mask
+    from yolopoint_tpu.data.native import warp_perspective_f32
+    from yolopoint_tpu.ops.homography import sample_homography_np
+
+    H, W = image.shape[:2]
+    image = np.asarray(image, np.float32)
+    if homographies is None:
+        params = {k: v for k, v in dict(hom_params or {}).items()}
+        Hs = [np.eye(3)] + [
+            sample_homography_np(
+                _NORM_SHAPE, shift=-1.0, seed=int(rng.integers(2**31)), **params
+            )
+            for _ in range(num_homographies - 1)
+        ]
+        Hs = np.stack(Hs)
+    else:
+        Hs = np.asarray(homographies, np.float64)
+    N = Hs.shape[0]
+
+    imgs = np.stack([warp_perspective_f32(image, h) for h in Hs])
+    masks = np.stack([_valid_mask(h, (H, W), erosion_radius) for h in Hs])
+
+    if _forward is None:
+        @jax.jit
+        def _forward(v, im):
+            out = model.apply(v, im, train=False)
+            return cells_to_heatmap(out["semi"].astype(jnp.float32))
+
+    # pipeline: dispatch chunk i+1's forward while fetching chunk i
+    futs = [
+        _forward(variables, jnp.asarray(imgs[c:c + chunk]))
+        for c in range(0, N, chunk)
+    ]
+    acc = np.zeros((H, W), np.float64)
+    macc = np.zeros((H, W), np.float64)
+    for ci, fut in enumerate(futs):
+        heat = np.asarray(fut)
+        for j in range(heat.shape[0]):
+            i = ci * chunk + j
+            hinv = np.linalg.inv(Hs[i])
+            acc += warp_perspective_f32(heat[j] * masks[i], hinv)
+            macc += warp_perspective_f32(masks[i], hinv)  # bilinear, like the device path
+    agg = (acc / np.maximum(macc, 1e-6)).astype(np.float32)
+
+    pts, scores, valid = extract_keypoints(
+        jnp.asarray(agg)[None], conf_thresh, nms_radius, top_k
+    )
+    return np.asarray(pts[0]), np.asarray(scores[0]), np.asarray(valid[0])
+
+
 def export_pseudo_labels(
     model,
     variables: Mapping[str, Any],
@@ -84,20 +159,46 @@ def export_pseudo_labels(
 ) -> list[Path]:
     """Run adaptation over named images and save `{name}.npz` with
     `pts (K, 3) [x, y, prob]` (the reference export schema,
-    `export_homography.py:171-177`)."""
+    `export_homography.py:171-177`).
+
+    `host_warp=True` (default when the native library is available) warps
+    on host CPU and keeps only the forwards on device — see
+    `homography_adaptation_host`."""
     out_dir = Path(output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     key = jax.random.PRNGKey(seed)
 
-    run = jax.jit(
-        functools.partial(homography_adaptation_batch, model, variables, **ha_kwargs)
-    )
+    host_warp = ha_kwargs.pop("host_warp", None)
+    if host_warp is None:
+        from yolopoint_tpu.data.native import available
+
+        host_warp = available()
+
+    if host_warp:
+        np_rng = np.random.default_rng(seed)
+
+        @jax.jit
+        def fwd(v, im):
+            out = model.apply(v, im, train=False)
+            return cells_to_heatmap(out["semi"].astype(jnp.float32))
+
+        def run_host(img):
+            return homography_adaptation_host(
+                model, variables, img, np_rng, _forward=fwd, **ha_kwargs
+            )
+    else:
+        run = jax.jit(
+            functools.partial(homography_adaptation_batch, model, variables, **ha_kwargs)
+        )
 
     paths = []
     for i, (name, img) in enumerate(images.items()):
-        k = jax.random.fold_in(key, i)
-        pts, scores, valid = run(jnp.asarray(img, jnp.float32), k)
-        pts, scores, valid = map(np.asarray, (pts, scores, valid))
+        if host_warp:
+            pts, scores, valid = run_host(np.asarray(img, np.float32))
+        else:
+            k = jax.random.fold_in(key, i)
+            pts, scores, valid = run(jnp.asarray(img, jnp.float32), k)
+            pts, scores, valid = map(np.asarray, (pts, scores, valid))
         keep = valid
         arr = np.concatenate([pts[keep], scores[keep, None]], axis=1)
         if normalize_points:
