@@ -46,6 +46,8 @@ def main() -> None:
     parser.add_argument("--workers", type=int, default=None)
     parser.add_argument("--train-rate", type=float, default=None,
                         help="train-step images/sec to compare against")
+    parser.add_argument("--host-warp", action="store_true",
+                        help="include host-warp augmentation in the loader")
     args = parser.parse_args()
 
     from yolopoint_tpu.data.datasets import build_dataset
@@ -59,10 +61,22 @@ def main() -> None:
 
     config = {"dataset": args.dataset, "suffix": [".jpg", ".png"],
               "preprocessing": {"img_size": args.img_size}}
+    host_cfg = None
+    if args.host_warp:
+        host_cfg = {
+            "homographic": {"enable": True, "valid_border_margin": 3,
+                             "params": {"perspective": True, "scaling": True,
+                                        "rotation": True, "translation": True,
+                                        "patch_ratio": 0.85}},
+            "warped_pair": {"params": {"perspective": True, "scaling": True,
+                                        "rotation": True, "translation": True,
+                                        "patch_ratio": 0.85}},
+        }
     ds = build_dataset(config, action="train", root=args.root)
     loader = DataLoader([ds], batch_size=args.batch_size,
                         num_workers=args.workers,
-                        steps_per_epoch=args.batches)
+                        steps_per_epoch=args.batches,
+                        host_augment_config=host_cfg)
 
     it = iter(loader)
     next(it)  # warm the pool + caches

@@ -87,6 +87,7 @@ class DataLoader:
         self.shuffle = shuffle
         self.max_points = max_points
         self.max_boxes = max_boxes
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.num_workers = num_workers or min(max((os.cpu_count() or 4) - 2, 2), 16)
@@ -120,6 +121,13 @@ class DataLoader:
         return np.arange(n) % self.total
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        # val/export (shuffle=False): fresh per-epoch rng so host-warped
+        # augmentation is identical every epoch (comparable fitness — the
+        # reference seeds val sampling deterministically likewise)
+        host_rng = (
+            self._host_rng if self.shuffle
+            else np.random.default_rng(self.seed + 7919)
+        )
         idxs = self._epoch_indices()
         rows = idxs[: self.steps_per_epoch * self.batch_size].reshape(-1, self.batch_size)
         mosaic_flags = (
@@ -145,7 +153,7 @@ class DataLoader:
                     from yolopoint_tpu.data.host_augment import host_warp_views
 
                     batch = host_warp_views(
-                        batch, self.host_augment_config, self._host_rng,
+                        batch, self.host_augment_config, host_rng,
                         executor=ex,
                     )
                 yield batch

@@ -99,8 +99,11 @@ class TrainAgent:
         # (reference train.py:124-126, configs/kitti.yaml:168-173)
         self.rng, k_init = jax.random.split(self.rng)
         sample = next(iter(train_loader))
-        H, W = sample["image"].shape[1:3]
-        self._sample_shape = (1, H, W, sample["image"].shape[3])
+        # host-warp loaders ship a zero-channel image stub; the precomputed
+        # base view has the shape the model actually consumes (crop frame)
+        ref_img = sample.get("precomputed_image_base", sample["image"])
+        H, W, C = ref_img.shape[1:4]
+        self._sample_shape = (1, H, W, C or 3)
         variables = self.model.init(
             k_init, jnp.zeros(self._sample_shape, jnp.float32), train=False
         )

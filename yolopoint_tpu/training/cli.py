@@ -72,8 +72,11 @@ def main(argv=None):
         train_sets, int(tp.get("train_batch_size", 8)), shuffle=True,
         seed=args.seed, host_augment_config=host_cfg,
     )
+    val_aug = (config.get("data") or {}).get("val_augmentation") or aug_cfg
+    val_host_cfg = val_aug if bool(aug_cfg.get("host_warp", True)) else None
     val_loader = DataLoader(
-        val_sets, int(tp.get("val_batch_size", 8)), shuffle=False, seed=args.seed
+        val_sets, int(tp.get("val_batch_size", 8)), shuffle=False,
+        seed=args.seed, host_augment_config=val_host_cfg,
     )
 
     output_dir = Path(args.output_dir) / args.exper_name

@@ -241,11 +241,22 @@ def make_val_step(
     @jax.jit
     def val_step(params, batch_stats, batch, rng):
         k_aug, k_desc = jax.random.split(rng)
+        pre = None
+        if "precomputed_h1" in batch:  # host-warp path (data.host_augment)
+            pre = {
+                "image_base": batch["precomputed_image_base"],
+                "valid_base": batch["precomputed_valid_base"],
+                "image_pair": batch["precomputed_image_pair"],
+                "valid_pair": batch["precomputed_valid_pair"],
+                "h1": batch["precomputed_h1"],
+                "h2": batch["precomputed_h2"],
+            }
         base, warped = build_training_views(
             k_aug, batch["image"], batch["points"], batch["point_mask"],
             batch["boxes"], batch["box_mask"], aug_config,
             crop_yx=batch.get("mosaic_crop_yx", batch.get("crop_yx")),
             mosaic="mosaic_crop_yx" in batch,
+            precomputed=pre,
         )
         variables = {"params": params, "batch_stats": batch_stats}
         out = model.apply(variables, base.image, train=False, decode=True)
