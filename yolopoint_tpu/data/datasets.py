@@ -404,12 +404,21 @@ class Campus(Kitti):
     remove_dontcare = False
 
 
+def _synthetic_cls():
+    from yolopoint_tpu.data.synthetic import SyntheticShapes
+
+    return SyntheticShapes
+
+
 DATASET_REGISTRY = {"coco": Coco, "kitti": Kitti, "campus": Campus}
 
 
 def build_dataset(config, action="train", names=(), root="datasets", debug=False):
     name = config["dataset"].lower()
-    cls = DATASET_REGISTRY.get(name, ImagePointBoxDataset)
+    if name in ("synthetic_shapes", "synthetic"):
+        cls = _synthetic_cls()
+    else:
+        cls = DATASET_REGISTRY.get(name, ImagePointBoxDataset)
     return cls(config, action=action, names=names, root=root, debug=debug)
 
 

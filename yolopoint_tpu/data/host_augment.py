@@ -101,8 +101,12 @@ def _valid_mask(h: np.ndarray, hw: tuple[int, int], margin: int,
     """Warp-coverage validity: warped (padded) ones or `valid_src`, 1-px
     border zeroed, ellipse-eroded (`ops.geometry.compute_valid_mask` twin)."""
     H, W = hw
-    src = valid_src if valid_src is not None else np.ones((H, W), np.float32)
-    m = warp_perspective_f32(src.astype(np.float32), h, mode="nearest")
+    if valid_src is None:
+        from yolopoint_tpu.data.native import warp_coverage_f32
+
+        m = warp_coverage_f32((H, W), h)  # == nearest warp of ones, no reads
+    else:
+        m = warp_perspective_f32(valid_src.astype(np.float32), h, mode="nearest")
     m[0, :] = 0; m[-1, :] = 0; m[:, 0] = 0; m[:, -1] = 0
     if valid_src is None and margin > 0:
         m = _erode(m, margin)
@@ -129,6 +133,11 @@ def _one_image(img, aug_cfg, rng_seed, crop_yx, crop_hw, mosaic_src):
         if wm := warp_cfg.get("mosaic_params"):
             warp_params = wm
 
+    # flips are COMPOSED into h1 rather than applied to the frame; in crop
+    # mode this mirrors content within the crop window, which equals the
+    # device path's "mirror full frame + mirror crop corner" (the window at
+    # the mirrored corner of a mirrored frame IS the mirrored window), so no
+    # crop_yx adjustment is needed here
     flip = np.eye(3)
     if flipping := hom_cfg.get("flipping"):
         flip = _flip_h(
@@ -154,8 +163,16 @@ def _one_image(img, aug_cfg, rng_seed, crop_yx, crop_hw, mosaic_src):
     h12 = h1 @ h2
 
     if crop_pts is None:
-        img_b = warp_perspective_f32(img, h1)
-        vm_b = _valid_mask(h1, (Hf, Wf), margin, mosaic_src)
+        if not hom_enabled and mosaic_src is None:
+            # identity base view (possibly flipped): the device
+            # `_identity_view` only zeroes a 1-px border — no warp coverage
+            # to compute, no erosion
+            img_b = img if np.array_equal(h1, np.eye(3)) else warp_perspective_f32(img, h1)
+            vm_b = np.ones((Hf, Wf), np.float32)
+            vm_b[0, :] = 0; vm_b[-1, :] = 0; vm_b[:, 0] = 0; vm_b[:, -1] = 0
+        else:
+            img_b = warp_perspective_f32(img, h1)
+            vm_b = _valid_mask(h1, (Hf, Wf), margin, mosaic_src)
         img_p = warp_perspective_f32(img, h12)
         # pair mask = base mask warped by h2, nothing more — the reference
         # neither re-zeroes nor erodes it (`DataClasses.py:417-424`), and

@@ -107,6 +107,18 @@ class DataLoader:
     def __len__(self) -> int:
         return self.steps_per_epoch
 
+    def sample_batch(self) -> dict[str, np.ndarray]:
+        """One synchronously-built B=1 batch for shape probing — no thread
+        pool, no prefetch, no epoch schedule consumed."""
+        batch = pad_collate([self._fetch(0, False)], self.max_points, self.max_boxes)
+        if self.host_augment_config is not None:
+            from yolopoint_tpu.data.host_augment import host_warp_views
+
+            batch = host_warp_views(
+                batch, self.host_augment_config, np.random.default_rng(self.seed)
+            )
+        return batch
+
     def _fetch(self, global_idx: int, mosaic: bool) -> dict[str, Any]:
         d = int(np.searchsorted(self._offsets, global_idx, side="right") - 1)
         return self.datasets[d].get(global_idx - self._offsets[d], mosaic=mosaic)

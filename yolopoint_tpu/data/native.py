@@ -61,12 +61,20 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.yp_u8_to_f32.argtypes = [u8p, f32p, ctypes.c_int64]
     lib.yp_warp_perspective_f32.argtypes = [f32p, i32, i32, i32, f32p, f32p, i32]
+    if hasattr(lib, "yp_warp_coverage_f32"):  # stale prebuilt .so tolerance
+        lib.yp_warp_coverage_f32.argtypes = [i32, i32, f32p, f32p]
     lib.yp_cov_pack_upper.argtypes = [f32p, i32, f32p]
     lib.yp_cov_unpack_upper.argtypes = [f32p, i32, f32p]
     lib.yp_cov_packed_size.argtypes = [i32]
     lib.yp_cov_packed_size.restype = ctypes.c_int64
     _lib = lib
     return lib
+
+
+def warp_backend() -> str:
+    """Which host-warp implementation `warp_perspective_f32` will use:
+    'native' (C++ libyp_preprocess) or 'numpy' (slow per-pixel fallback)."""
+    return "native" if _load() is not None else "numpy"
 
 
 def available() -> bool:
@@ -176,6 +184,21 @@ def warp_perspective_f32(
         1 if mode == "nearest" else 0,
     )
     return out[..., 0] if squeeze else out
+
+
+def warp_coverage_f32(hw: tuple[int, int], hinv: np.ndarray) -> np.ndarray:
+    """Validity coverage of an inverse warp: EXACTLY
+    `warp_perspective_f32(ones(hw), hinv, mode="nearest")` but computed as a
+    pure bounds test with no source reads (auto-vectorized; ~6x faster) —
+    the hot call of the host-warp mask path."""
+    H, W = int(hw[0]), int(hw[1])
+    hinv = np.ascontiguousarray(hinv, np.float32).reshape(9)
+    lib = _load()
+    if lib is None or not hasattr(lib, "yp_warp_coverage_f32"):
+        return warp_perspective_f32(np.ones((H, W), np.float32), hinv, mode="nearest")
+    out = np.empty((H, W), np.float32)
+    lib.yp_warp_coverage_f32(H, W, _f32ptr(hinv), _f32ptr(out))
+    return out
 
 
 def cov_pack_upper(full: np.ndarray) -> np.ndarray:

@@ -132,3 +132,168 @@ def objects_from_pipeline_output(
             )
         )
     return arr
+
+
+# --------------------------------------------------------------------------
+# object_msgs mirrors: the full reference message set
+# (`/root/reference/src/ros_messages/object_msgs/msg/*.msg`) as transport-
+# agnostic dataclasses. Wire-format definitions live in
+# `deploy/ros_pkg/object_msgs/msg/`; these are their host-side twins.
+# --------------------------------------------------------------------------
+
+NUM_STATES = 24  # ObjectStateIndex range
+
+
+class ObjectStateIndex:
+    """Index constants of the 24-element object state vector
+    (`ObjectStateIndex.msg`)."""
+
+    POSE_X, POSE_Y, POSE_Z, POSE_ROLL, POSE_PITCH, POSE_YAW = range(6)
+    (VELOCITY_X, VELOCITY_Y, VELOCITY_Z,
+     VELOCITY_ROLL, VELOCITY_PITCH, VELOCITY_YAW) = range(6, 12)
+    (ACCELERATION_X, ACCELERATION_Y, ACCELERATION_Z,
+     ACCELERATION_ROLL, ACCELERATION_PITCH, ACCELERATION_YAW) = range(12, 18)
+    (DIMENSION_LENGTH_TO_FRONT, DIMENSION_LENGTH_TO_REAR,
+     DIMENSION_WIDTH_TO_LEFT, DIMENSION_WIDTH_TO_RIGHT,
+     DIMENSION_HEIGHT_TO_UPPER, DIMENSION_HEIGHT_TO_BOTTOM) = range(18, 24)
+
+
+class MotionType:
+    UNKNOWN = 0
+    GENERIC_STATIC = 1
+    GENERIC_DYNAMIC = 2
+
+
+class ObjectClass:
+    (UNKNOWN, CAR, TRUCK, BICYCLE, MOTORCYCLE, PEDESTRIAN, TREE, BUSH,
+     TRAFFIC_SIGN, ERICARD, BUS, TRAILER, CONSTRUCTION_VEHICLE,
+     TRAFFIC_CONE, BARRIER) = range(15)
+
+
+class ReferencePointType:
+    UNKNOWN = 0
+    BOUNDING_BOX_CENTER = 1
+    REAR_AXLE_CENTER_GROUND = 2
+
+
+@dataclasses.dataclass
+class Pose32:
+    x: float = 0.0
+    y: float = 0.0
+    z: float = 0.0
+    roll: float = 0.0
+    pitch: float = 0.0
+    yaw: float = 0.0
+
+
+Pose64 = Pose32  # same fields; float64 is numpy-side a dtype concern only
+
+
+@dataclasses.dataclass
+class ObjectDimension:
+    """Signed box extents from the reference point (`ObjectDimension.msg`)."""
+
+    length_to_front: float = 0.0
+    length_to_rear: float = 0.0
+    width_to_left: float = 0.0
+    width_to_right: float = 0.0
+    height_to_upper: float = 0.0
+    height_to_bottom: float = 0.0
+
+
+@dataclasses.dataclass
+class ObjectClassEstimate:
+    class_id: int = 0
+    certainty: float = 0.0
+
+
+@dataclasses.dataclass
+class Object3D:
+    """Full object message (`Object.msg`): pose/velocity/acceleration,
+    dimensions, validity-reduced packed covariance and class info."""
+
+    object_id: int = 0
+    description: str = ""
+    pose: Pose32 = dataclasses.field(default_factory=Pose32)
+    velocity: Pose32 = dataclasses.field(default_factory=Pose32)
+    acceleration: Pose32 = dataclasses.field(default_factory=Pose32)
+    dimension: ObjectDimension = dataclasses.field(default_factory=ObjectDimension)
+    state_validity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(NUM_STATES, bool))
+    complete_covariance: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.float32))
+    reference_point_type: int = ReferencePointType.UNKNOWN
+    motion_type: int = MotionType.UNKNOWN
+    object_class: int = ObjectClass.UNKNOWN
+    object_class_estimate: list[ObjectClassEstimate] = dataclasses.field(default_factory=list)
+    existence_probability: float = -1.0
+    timestamp: float = 0.0
+
+
+@dataclasses.dataclass
+class Objects3D:
+    objects: list[Object3D] = dataclasses.field(default_factory=list)
+    frame_id: str = ""
+    stamp: float = 0.0
+
+
+class CovarianceHelper:
+    """Pack/unpack/reshape helpers for the validity-reduced covariance of
+    `Object3D` — python twin of the C++ header
+    (`deploy/ros_pkg/object_msgs/include/object_msgs/covariance_helper.h`);
+    the heavy pack/unpack goes through the native library when built
+    (`data.native.cov_pack_upper` / `cov_unpack_upper`)."""
+
+    @staticmethod
+    def covariance_from_msg(msg: Object3D) -> np.ndarray:
+        from yolopoint_tpu.data.native import cov_unpack_upper
+
+        n = int(np.asarray(msg.state_validity, bool).sum())
+        return cov_unpack_upper(np.asarray(msg.complete_covariance, np.float32), n)
+
+    @staticmethod
+    def covariance_to_msg(cov: np.ndarray, mask: np.ndarray, msg: Object3D) -> Object3D:
+        from yolopoint_tpu.data.native import cov_pack_upper
+
+        msg.complete_covariance = cov_pack_upper(np.asarray(cov, np.float32))
+        msg.state_validity = np.asarray(mask, bool)
+        return msg
+
+    @staticmethod
+    def get_sub_matrix(cov: np.ndarray, indices) -> np.ndarray:
+        idx = np.asarray(indices, np.int64)
+        return cov[idx[:, None], idx[None, :]]
+
+    @staticmethod
+    def set_sub_matrix(cov: np.ndarray, indices, sub: np.ndarray) -> np.ndarray:
+        idx = np.asarray(indices, np.int64)
+        cov[idx[:, None], idx[None, :]] = sub
+        return cov
+
+    @staticmethod
+    def indices_from_mask(mask) -> np.ndarray:
+        return np.flatnonzero(np.asarray(mask, bool))
+
+    @staticmethod
+    def mask_from_indices(indices) -> np.ndarray:
+        mask = np.zeros(NUM_STATES, bool)
+        mask[np.asarray(indices, np.int64)] = True
+        return mask
+
+    @staticmethod
+    def reshape_by_random_variables(in_cov: np.ndarray, in_states, out_states) -> np.ndarray:
+        """Covariance over `in_states` -> covariance over `out_states`:
+        shared states copy across, new states get zero rows/cols."""
+        in_states = list(in_states)
+        out_states = list(out_states)
+        out = np.zeros((len(out_states), len(out_states)), in_cov.dtype)
+        pos = {s: i for i, s in enumerate(in_states)}
+        for a, sa in enumerate(out_states):
+            ia = pos.get(sa)
+            if ia is None:
+                continue
+            for b, sb in enumerate(out_states):
+                ib = pos.get(sb)
+                if ib is not None:
+                    out[a, b] = in_cov[ia, ib]
+        return out

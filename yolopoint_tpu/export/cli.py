@@ -47,8 +47,8 @@ def main(argv=None):
     else:  # random weights: still runs (useful for pipeline smoke tests)
         import jax.numpy as jnp
 
-        variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 256, 320, 3)), train=False)
+        variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 256, 320, 3)))
         LOGGER.info("no weights given — exporting with random init")
 
     # iter_export bypasses crop/mosaic — the split name only picks the dir

@@ -131,6 +131,17 @@ def sample_descriptors_pallas(
 
 
 def sampling_fits_pallas(desc_shape) -> bool:
-    """Kernel constraints: lane-aligned channel dim and a VMEM-resident map."""
+    """Kernel constraints: lane-aligned channel dim and a VMEM-resident map,
+    INCLUDING the per-block (NC, PB) f32 weight intermediate — when
+    P % 1280 != 0 the kernel falls back to one block of PB=P, whose weight
+    matrix must also fit (a large lane-aligned coarse map could otherwise
+    pass the map-size gate and fail at Mosaic compile time)."""
     _, Hc, Wc, D = desc_shape
-    return D % 128 == 0 and (Hc * Wc) % 128 == 0 and Hc * Wc * D * 2 <= 6_000_000
+    P = Hc * Wc
+    if D % 128 != 0 or P % 128 != 0:
+        return False
+    PB = 1280 if P % 1280 == 0 else P
+    NC = 256
+    weight_bytes = NC * PB * 4          # per-block f32 weight intermediate
+    map_bytes = P * D * 2               # bf16 coarse map
+    return map_bytes + weight_bytes <= 6_000_000

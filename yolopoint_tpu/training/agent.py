@@ -98,15 +98,23 @@ class TrainAgent:
         # layer freezing by reference named_parameters() index
         # (reference train.py:124-126, configs/kitti.yaml:168-173)
         self.rng, k_init = jax.random.split(self.rng)
-        sample = next(iter(train_loader))
+        # shape probe WITHOUT spinning up the loader's thread pool / prefetch
+        # (a bare `next(iter(loader))` would decode-and-abandon several
+        # batches and hold worker threads until GC)
+        if hasattr(train_loader, "sample_batch"):
+            sample = train_loader.sample_batch()
+        else:
+            sample = next(iter(train_loader))
         # host-warp loaders ship a zero-channel image stub; the precomputed
         # base view has the shape the model actually consumes (crop frame)
         ref_img = sample.get("precomputed_image_base", sample["image"])
         H, W, C = ref_img.shape[1:4]
         self._sample_shape = (1, H, W, C or 3)
-        variables = self.model.init(
-            k_init, jnp.zeros(self._sample_shape, jnp.float32), train=False
-        )
+        # jitted init: eager flax init pays one dispatch round-trip per op —
+        # minutes over a tunneled TPU (see training.state.create_train_state)
+        variables = jax.jit(
+            lambda k, x: self.model.init(k, x, train=False)
+        )(k_init, jnp.zeros(self._sample_shape, jnp.float32))
         trainable_mask = None
         if spec := config.get("freeze_layers"):
             from yolopoint_tpu.models.yolopoint import REFERENCE_MODULE_ORDER
@@ -157,11 +165,25 @@ class TrainAgent:
             fl_gamma=float(yolo.get("fl_gamma", 0.0)),
         )
         self.obj_cfg = rescale_yolo_gains(obj_cfg, self.nc, img_size)
-        sparse = sp.get("sparse_loss", {}).get("params", {})
+        sparse_cfg = sp.get("sparse_loss", {}) or {}
+        # the reference nests sampling params directly under `sparse_loss`
+        # (`/root/reference/configs/coco.yaml:123-125`); our configs use a
+        # `params:` subtree — accept both
+        sparse = sparse_cfg.get("params", sparse_cfg)
+        # descriptor loss selection: the reference's ACTIVE loss is InfoNCE
+        # via the aliased import (`/root/reference/src/train.py:8`), so that
+        # is the default; `model.superpoint.desc_loss: sparse` selects the
+        # hinge contrastive loss (`loss_functions.py:361-480`)
+        desc_loss_type = str(
+            sp.get("desc_loss", sparse_cfg.get("name", "infonce"))
+        ).lower()
+        if desc_loss_type not in ("sparse", "infonce"):
+            raise ValueError(f"desc_loss must be 'sparse' or 'infonce', got {desc_loss_type!r}")
         self.weights = LossWeights(
             lambda_desc=float(cfg_get(config, "model.lambda_loss", 0.1)),
             lambda_obj=float(cfg_get(config, "model.lambda_loss_obj", 10.0)),
             joint_training=bool(config.get("joint_training", True)),
+            desc_loss_type=desc_loss_type,
             num_samples_per_image=int(sparse.get("num_samples_per_image", 1000)),
             num_masked_non_matches_per_match=int(
                 sparse.get("num_masked_non_matches_per_match", 120)
@@ -189,6 +211,7 @@ class TrainAgent:
             ema_decay=float(ema_cfg.get("decay", 0.9999)),
             ema_tau=float(ema_cfg.get("tau", 2000.0)),
             remat=bool(tp.get("remat", False)),
+            accum=accum,
         )
         if self.steps_per_dispatch > 1:
             from yolopoint_tpu.training.step import make_multi_step
@@ -263,6 +286,22 @@ class TrainAgent:
     # ---------------- training ----------------
 
     def train(self) -> None:
+        """Run the epoch loop; a KeyboardInterrupt saves a `last` checkpoint
+        before returning (reference saves last.pth.tar on interrupt,
+        `/root/reference/src/train.py:299-305`) — library users get the same
+        safety as the CLI."""
+        try:
+            self._train_loop()
+        except KeyboardInterrupt:
+            self.ckpt.save(
+                int(self.global_step), self.state,
+                metadata={"interrupted": True, "global_step": self.global_step,
+                          "best_fitness": self.best_fitness},
+                best=False,
+            )
+            LOGGER.info("interrupted — checkpoint saved")
+
+    def _train_loop(self) -> None:
         prof_start = int(self._profile.get("start_step", 10)) if self._profile else -1
         prof_stop = prof_start + int(self._profile.get("num_steps", 5)) if self._profile else -1
         def run_single(batch):

@@ -63,17 +63,26 @@ def main(argv=None):
         for c in sub_cfgs
     ]
     aug_cfg = (config.get("data") or {}).get("augmentation") or {}
-    # host_warp: true (default) -> base/pair views are warped by CPU workers
-    # with the native C++ kernel; the device step skips per-pixel warp
-    # gathers (see data.host_augment). Set false to keep the whole
-    # augmentation in the jitted step (self-contained single-program mode).
-    host_cfg = aug_cfg if bool(aug_cfg.get("host_warp", True)) else None
+    # host_warp -> base/pair views are warped by CPU workers with the native
+    # C++ kernel; the device step skips per-pixel warp gathers (see
+    # data.host_augment). DEFAULT follows native-library availability: the
+    # pure-numpy fallback warp is far too slow to feed a chip, so without the
+    # library the augmentation stays in the jitted step. Set host_warp
+    # explicitly to override either way.
+    from yolopoint_tpu.data.native import warp_backend
+
+    host_warp = bool(aug_cfg.get("host_warp", warp_backend() == "native"))
+    host_cfg = aug_cfg if host_warp else None
+    LOGGER.info(
+        f"augmentation warp path: "
+        f"{'host (' + warp_backend() + ')' if host_warp else 'device (jitted step)'}"
+    )
     train_loader = DataLoader(
         train_sets, int(tp.get("train_batch_size", 8)), shuffle=True,
         seed=args.seed, host_augment_config=host_cfg,
     )
     val_aug = (config.get("data") or {}).get("val_augmentation") or aug_cfg
-    val_host_cfg = val_aug if bool(aug_cfg.get("host_warp", True)) else None
+    val_host_cfg = val_aug if host_warp else None
     val_loader = DataLoader(
         val_sets, int(tp.get("val_batch_size", 8)), shuffle=False,
         seed=args.seed, host_augment_config=val_host_cfg,
@@ -85,13 +94,9 @@ def main(argv=None):
     LOGGER.info(f"training {config.get('model', {}).get('name')} -> {output_dir}")
 
     agent = TrainAgent(config, output_dir, train_loader, val_loader, seed=args.seed)
-    try:
-        agent.train()
-    except KeyboardInterrupt:
-        # reference saves last.pth.tar on interrupt (train.py:299-305)
-        agent.ckpt.save(int(agent.global_step), agent.state,
-                        metadata={"interrupted": True}, best=False)
-        LOGGER.info("interrupted — checkpoint saved")
+    # interrupt-safe: agent.train() saves a `last` checkpoint on
+    # KeyboardInterrupt (reference train.py:299-305)
+    agent.train()
 
 
 if __name__ == "__main__":

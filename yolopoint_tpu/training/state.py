@@ -202,7 +202,12 @@ def create_train_state(
     train step (reference `ModelEMA`, `torch_utils_yolo.py:315-349`).
     """
     if variables is None:
-        variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), train=False)
+        # jit the init: flax init otherwise executes eagerly op-by-op, which
+        # pays a device dispatch round-trip per op — minutes over a remote
+        # (tunneled) TPU vs seconds as one compiled program
+        variables = jax.jit(
+            lambda k, x: model.init(k, x, train=False)
+        )(rng, jnp.zeros(input_shape, jnp.float32))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     if tx is None:
@@ -211,7 +216,7 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=jax.jit(tx.init)(params),
         tx=tx,
         ema_params=jax.tree_util.tree_map(jnp.array, params) if ema else None,
     )

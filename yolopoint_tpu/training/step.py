@@ -201,6 +201,7 @@ def make_val_step(
     box_conf: float = 0.001,
     box_iou: float = 0.6,
     max_det: int = 300,
+    max_nms: int = 30000,
 ):
     """One jitted validation program per batch: augment views, forward both,
     val losses + full device decode (heatmap, keypoint NMS, box NMS,
@@ -232,9 +233,12 @@ def make_val_step(
             result["det"] = batched_box_nms(
                 out["objects"][0].astype(jnp.float32),
                 conf_thres=box_conf, iou_thres=box_iou, max_det=max_det,
-                # the reference validates with one candidate per (box, class)
-                # (`general_yolo.py:143-147` multi_label)
+                # reference val protocol: one candidate per (box, class)
+                # (`general_yolo.py:143-147`) at the FULL 30k candidate cap
+                # (`general_yolo.py:156-160`) — beyond-dense caps run the
+                # exact tiled-scan suppression, no truncation bias
                 multi_label=nc > 1,
+                max_nms=max_nms,
             )
         return result
 
@@ -293,6 +297,7 @@ def make_train_step(
     ema_decay: float = 0.9999,
     ema_tau: float = 2000.0,
     remat: bool = False,
+    accum: int = 1,
 ):
     """Build the jitted DP train step over `mesh`.
 
@@ -327,12 +332,23 @@ def make_train_step(
         if state.ema_params is not None:  # static: EMA enabled at state creation
             from yolopoint_tpu.training.ema import ema_update
 
-            new_state = new_state.replace(
-                ema_params=ema_update(
-                    new_state.ema_params, new_state.params, new_state.step,
-                    decay=ema_decay, tau=ema_tau,
-                )
+            # EMA tracks OPTIMIZER updates, not micro-batches: under gradient
+            # accumulation MultiSteps applies the inner transform on every
+            # `accum`-th call, so the decay ramp counts `step // accum` and
+            # non-update micro-steps leave the shadow untouched (reference
+            # `ModelEMA.update` counts optimizer updates,
+            # `/root/reference/src/utils/torch_utils_yolo.py:326-334`)
+            updated = ema_update(
+                new_state.ema_params, new_state.params, new_state.step // accum,
+                decay=ema_decay, tau=ema_tau,
             )
+            if accum > 1:
+                is_opt_step = (new_state.step % accum) == 0
+                updated = jax.tree_util.tree_map(
+                    lambda u, e: jnp.where(is_opt_step, u, e),
+                    updated, new_state.ema_params,
+                )
+            new_state = new_state.replace(ema_params=updated)
         return new_state, aux
 
     state_spec = P()  # replicated
