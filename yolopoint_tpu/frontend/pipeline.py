@@ -152,6 +152,11 @@ class InferencePipeline:
             result.update(
                 boxes=det["boxes"], box_scores=det["scores"],
                 box_classes=det["classes"], box_valid=det["valid"],
+                # overflow telemetry: the fused path is exact only while the
+                # gate passes <= max_nms candidates; values above the cap
+                # mean candidates were truncated (raise box_conf or use
+                # batched_box_nms with a larger max_nms)
+                box_n_candidates=det["n_candidates"],
             )
             if self.filter_pts_in_boxes:
                 suppress = jax.vmap(_points_in_boxes)(pts, det["boxes"], det["valid"])

@@ -67,14 +67,213 @@ def _greedy_keep_batched(boxes: jax.Array, valid: jax.Array, iou_thres: float) -
     from yolopoint_tpu.ops.pallas_nms import pallas_available
 
     K = boxes.shape[1]
-    if pallas_available() and K % 256 == 0:
+    # the kernel's (K, K) bf16 overlap scratch must fit scoped VMEM (16 MB):
+    # K=2048 -> 8 MB ok, K=4096 -> 32 MB compile-time OOM (caught by the
+    # on-TPU parity gate, tests/test_tpu_parity.py)
+    if pallas_available() and K % 256 == 0 and K <= 2048:
         return pallas_greedy_nms(boxes, valid, iou_thres)
     return jax.vmap(_greedy_nms_keep, in_axes=(0, 0, None))(boxes, valid, iou_thres)
 
 
+# candidate counts up to this run the single-shot (K, K)-IoU suppression
+# (in-VMEM Pallas); beyond it (the reference val protocol feeds
+# max_nms=30000, `general_yolo.py:156-160`) the exact tiled scan below
+# takes over
+_DENSE_NMS_MAX = 2048
+
+
+def _chunked_greedy_select(
+    boxes_off: jax.Array,
+    scores: jax.Array,
+    valid: jax.Array,
+    iou_thres: float,
+    max_det: int,
+    tile: int = 1024,
+):
+    """EXACT greedy NMS over score-sorted candidates of any length K, without
+    ever forming the (K, K) IoU matrix.
+
+    `lax.scan` over score-ordered tiles of size `tile`, carrying a survivor
+    buffer of the top `max_det` kept boxes. Each tile is (a) pre-suppressed
+    against the buffer ((tile, max_det) IoU), then (b) resolved within-tile by
+    the Jacobi fixpoint. Survivors merge into the buffer by stable top-k on
+    score (global score order is descending across tiles, so buffer entries
+    always outrank tile entries and order is preserved).
+
+    Exactness: while the buffer is not full, NO survivor has ever been
+    dropped, so pre-suppression sees every earlier survivor — identical to
+    serial greedy. Once the buffer IS full, the output (top max_det
+    survivors by score) is already determined: no later candidate can rank
+    above a buffered one. This matches the reference's max_det cap, which
+    keeps the first `max_det` survivors in score order
+    (`/root/reference/src/utils/general_yolo.py:162-166`).
+
+    Returns `(sel_idx (max_det,) int32 indices into the candidate arrays,
+    sel_valid (max_det,) bool)`, in descending score order.
+    """
+    K = boxes_off.shape[0]
+    pad = (-K) % tile
+    if pad:
+        boxes_off = jnp.pad(boxes_off, ((0, pad), (0, 0)))
+        scores = jnp.pad(scores, (0, pad), constant_values=-1.0)
+        valid = jnp.pad(valid, (0, pad), constant_values=False)
+    n_tiles = (K + pad) // tile
+    idx = jnp.arange(K + pad, dtype=jnp.int32)
+
+    tiles = (
+        boxes_off.reshape(n_tiles, tile, 4),
+        scores.reshape(n_tiles, tile),
+        valid.reshape(n_tiles, tile),
+        idx.reshape(n_tiles, tile),
+    )
+    buf0 = (
+        jnp.zeros((max_det, 4), boxes_off.dtype),
+        jnp.full((max_det,), -1.0, scores.dtype),
+        jnp.zeros((max_det,), jnp.int32),
+        jnp.zeros((max_det,), bool),
+    )
+
+    def body(buf, t):
+        b_boxes, b_scores, b_idx, b_valid = buf
+        t_boxes, t_scores, t_valid, t_idx = t
+        iou_cross = box_iou(t_boxes, b_boxes)                       # (T, D)
+        pre_sup = jnp.any((iou_cross > iou_thres) & b_valid[None, :], axis=1)
+        keep_t = _greedy_nms_keep(t_boxes, t_valid & ~pre_sup, iou_thres)
+        all_scores = jnp.concatenate(
+            [jnp.where(b_valid, b_scores, -1.0), jnp.where(keep_t, t_scores, -1.0)]
+        )
+        all_boxes = jnp.concatenate([b_boxes, t_boxes])
+        all_idx = jnp.concatenate([b_idx, t_idx])
+        top_s, sel = jax.lax.top_k(all_scores, max_det)             # stable
+        new_buf = (
+            all_boxes[sel], top_s, all_idx[sel], top_s > -1.0,
+        )
+        return new_buf, None
+
+    (b_boxes, b_scores, b_idx, b_valid), _ = jax.lax.scan(body, buf0, tiles)
+    return b_idx, b_valid
+
+
+def _merge_weighted(
+    out_off: jax.Array,
+    out_boxes: jax.Array,
+    out_valid: jax.Array,
+    all_off: jax.Array,
+    all_boxes: jax.Array,
+    all_scores: jax.Array,
+    all_valid: jax.Array,
+    iou_thres: float,
+    tile: int = 4096,
+) -> jax.Array:
+    """Merge-NMS (weighted box fusion): each kept box's coords become the
+    score-weighted mean of ALL candidates overlapping it above `iou_thres`
+    (self included, suppressed included) — reference `merge` branch,
+    `/root/reference/src/utils/general_yolo.py:222-229`. Overlap is tested on
+    class-OFFSET boxes, the average taken over raw boxes, like the reference.
+
+    Batched `(B, D, ...)` vs `(B, K, ...)`; for K beyond `tile` the weight
+    matrix is accumulated tile-by-tile so HBM never holds (D, K) at 30k."""
+
+    w_scores = jnp.where(all_valid, all_scores, 0.0)
+
+    def per_image(o_off, a_off, a_boxes, w_s):
+        K = a_off.shape[0]
+        if K <= tile:
+            iou = box_iou(o_off, a_off)                             # (D, K)
+            w = jnp.where(iou > iou_thres, w_s[None, :], 0.0)
+            return w @ a_boxes, w.sum(-1, keepdims=True)
+        pad = (-K) % tile
+        if pad:
+            a_off = jnp.pad(a_off, ((0, pad), (0, 0)))
+            a_boxes = jnp.pad(a_boxes, ((0, pad), (0, 0)))
+            w_s = jnp.pad(w_s, (0, pad))
+        nt = (K + pad) // tile
+
+        def body(acc, t):
+            num, den = acc
+            t_off, t_boxes, t_w = t
+            iou = box_iou(o_off, t_off)
+            w = jnp.where(iou > iou_thres, t_w[None, :], 0.0)
+            return (num + w @ t_boxes, den + w.sum(-1, keepdims=True)), None
+
+        (num, den), _ = jax.lax.scan(
+            body,
+            (jnp.zeros_like(o_off), jnp.zeros((o_off.shape[0], 1), o_off.dtype)),
+            (a_off.reshape(nt, tile, 4), a_boxes.reshape(nt, tile, 4),
+             w_s.reshape(nt, tile)),
+        )
+        return num, den
+
+    num, den = jax.vmap(per_image)(out_off, all_off, all_boxes, w_scores)
+    merged = num / jnp.maximum(den, 1e-9)
+    return jnp.where(out_valid[..., None], merged, out_boxes)
+
+
+def _select_detections(
+    top_boxes: jax.Array,
+    top_scores: jax.Array,
+    top_classes: jax.Array,
+    iou_thres: float,
+    max_det: int,
+    agnostic: bool,
+    merge: bool,
+) -> dict[str, jax.Array]:
+    """Shared suppression + selection tail over score-sorted candidates
+    `(B, K, ...)`: dense (K, K) suppression up to `_DENSE_NMS_MAX`, exact
+    tiled-scan greedy beyond it; optional merge-NMS."""
+    K = top_scores.shape[1]
+    top_valid = top_scores > 0.0
+    offset = (
+        0.0 if agnostic
+        else top_classes.astype(top_boxes.dtype)[..., None] * MAX_WH
+    )
+    boxes_off = top_boxes + offset
+
+    if K <= _DENSE_NMS_MAX:
+        keep = _greedy_keep_batched(boxes_off, top_valid, iou_thres)
+        kept_scores = jnp.where(keep, top_scores, -1.0)
+        k_out = min(max_det, K)
+        out_scores, out_idx = jax.lax.top_k(kept_scores, k_out)
+        pad = max_det - k_out
+        if pad:
+            out_scores = jnp.pad(
+                out_scores, ((0, 0), (0, pad)), constant_values=-1.0
+            )
+            out_idx = jnp.pad(out_idx, ((0, 0), (0, pad)))
+    else:
+        out_idx, sel_valid = jax.vmap(
+            _chunked_greedy_select, in_axes=(0, 0, 0, None, None)
+        )(boxes_off, top_scores, top_valid, iou_thres, max_det)
+        out_idx = jnp.minimum(out_idx, K - 1)  # pad-tile indices, invalid slots
+        out_scores = jnp.where(
+            sel_valid, jnp.take_along_axis(top_scores, out_idx, axis=1), -1.0
+        )
+
+    out_boxes = jnp.take_along_axis(top_boxes, out_idx[..., None], axis=1)
+    out_classes = jnp.take_along_axis(top_classes, out_idx, axis=1).astype(jnp.int32)
+    out_valid = out_scores > 0.0
+    if merge:
+        out_off = out_boxes + (
+            0.0 if agnostic else out_classes.astype(out_boxes.dtype)[..., None] * MAX_WH
+        )
+        out_boxes = _merge_weighted(
+            out_off, out_boxes, out_valid,
+            boxes_off, top_boxes, top_scores, top_valid, iou_thres,
+        )
+    return {
+        "boxes": out_boxes,
+        "scores": jnp.maximum(out_scores, 0.0),
+        "classes": out_classes,
+        "valid": out_valid,
+    }
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "agnostic", "multi_label"),
+    static_argnames=(
+        "conf_thres", "iou_thres", "max_det", "max_nms", "agnostic",
+        "multi_label", "merge",
+    ),
 )
 def batched_box_nms(
     prediction: jax.Array,
@@ -84,6 +283,7 @@ def batched_box_nms(
     max_nms: int = 1024,
     agnostic: bool = False,
     multi_label: bool = False,
+    merge: bool = False,
 ) -> dict[str, jax.Array]:
     """Batched class-aware NMS on decoded YOLO predictions.
 
@@ -93,16 +293,23 @@ def batched_box_nms(
       conf_thres: objectness/score gate.
       iou_thres: suppression IoU.
       max_det: fixed number of detections returned per image.
-      max_nms: candidate cap fed to greedy suppression (reference: 30000; we
-        top-k to a TPU-friendly fixed K — beyond-cap candidates are the
-        lowest-score ones and virtually never survive anyway).
+      max_nms: candidate cap fed to greedy suppression. The reference val
+        protocol uses 30000 (`general_yolo.py:156-160`); caps beyond
+        `_DENSE_NMS_MAX` switch to an exact tiled-scan suppression, so the
+        full 30k regime at conf 0.001 is supported without a (30k, 30k) IoU
+        matrix.
       agnostic: class-agnostic NMS (no class offset).
       multi_label: emit one candidate per (box, class) over the gate instead
         of argmax class only.
+      merge: merge-NMS (weighted box fusion over overlapping candidates,
+        reference `general_yolo.py:222-229`).
 
     Returns:
       dict with `boxes` `(B, max_det, 4)` xyxy, `scores` `(B, max_det)`,
-      `classes` `(B, max_det)` int32, `valid` `(B, max_det)` bool.
+      `classes` `(B, max_det)` int32, `valid` `(B, max_det)` bool, and
+      `n_candidates` `(B,)` int32 — how many candidates passed the
+      confidence gate (overflow telemetry: values above `max_nms` mean the
+      cap truncated the candidate set).
 
     Parity: `/root/reference/src/utils/general_yolo.py:124-235` (same
     suppression order and class-offset trick; fixed-shape outputs).
@@ -131,30 +338,14 @@ def batched_box_nms(
         top_scores, top_idx = jax.lax.top_k(gated, k)
         top_boxes = boxes_f[top_idx]
         top_classes = classes[top_idx]
-        return top_boxes, top_scores, top_classes
+        return top_boxes, top_scores, top_classes, (gated > 0.0).sum().astype(jnp.int32)
 
-    top_boxes, top_scores, top_classes = jax.vmap(per_image)(prediction)
-    top_valid = top_scores > 0.0
-    offset = (
-        0.0 if agnostic
-        else top_classes.astype(top_boxes.dtype)[..., None] * MAX_WH
+    top_boxes, top_scores, top_classes, n_cand = jax.vmap(per_image)(prediction)
+    out = _select_detections(
+        top_boxes, top_scores, top_classes, iou_thres, max_det, agnostic, merge
     )
-    keep = _greedy_keep_batched(top_boxes + offset, top_valid, iou_thres)
-
-    kept_scores = jnp.where(keep, top_scores, -1.0)
-    k = kept_scores.shape[1]
-    k_out = min(max_det, k)
-    out_scores, out_idx = jax.lax.top_k(kept_scores, k_out)
-    pad = max_det - k_out
-    if pad:
-        out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)), constant_values=-1.0)
-        out_idx = jnp.pad(out_idx, ((0, 0), (0, pad)))
-    return {
-        "boxes": jnp.take_along_axis(top_boxes, out_idx[..., None], axis=1),
-        "scores": jnp.maximum(out_scores, 0.0),
-        "classes": jnp.take_along_axis(top_classes, out_idx, axis=1).astype(jnp.int32),
-        "valid": out_scores > 0.0,
-    }
+    out["n_candidates"] = n_cand
+    return out
 
 
 def fused_detect_nms(
@@ -166,6 +357,7 @@ def fused_detect_nms(
     max_det: int = 300,
     max_nms: int = 1024,
     agnostic: bool = False,
+    merge: bool = False,
 ) -> dict[str, jax.Array]:
     """Score-gated decode + NMS straight from the raw Detect levels.
 
@@ -227,21 +419,12 @@ def fused_detect_nms(
     rows = jnp.take_along_axis(packed, idx[..., None], axis=1)   # (B, K, 6)
     boxes = rows[..., 0:4]
     classes = rows[..., 5].astype(jnp.int32)
-    top_valid = top_scores > 0.0
 
-    offset = 0.0 if agnostic else classes.astype(boxes.dtype)[..., None] * MAX_WH
-    keep = _greedy_keep_batched(boxes + offset, top_valid, iou_thres)
-
-    kept_scores = jnp.where(keep, top_scores, -1.0)
-    k_out = min(max_det, k)
-    out_scores, out_idx = jax.lax.top_k(kept_scores, k_out)
-    pad = max_det - k_out
-    if pad:
-        out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)), constant_values=-1.0)
-        out_idx = jnp.pad(out_idx, ((0, 0), (0, pad)))
-    return {
-        "boxes": jnp.take_along_axis(boxes, out_idx[..., None], axis=1),
-        "scores": jnp.maximum(out_scores, 0.0),
-        "classes": jnp.take_along_axis(classes, out_idx, axis=1).astype(jnp.int32),
-        "valid": out_scores > 0.0,
-    }
+    out = _select_detections(
+        boxes, top_scores, classes, iou_thres, max_det, agnostic, merge
+    )
+    # overflow telemetry: the fast path is exact only while the gate passes
+    # <= max_nms candidates (see docstring) — callers can detect/log
+    # `n_candidates > max_nms` instead of silently degrading
+    out["n_candidates"] = (gated > 0.0).sum(axis=1).astype(jnp.int32)
+    return out
