@@ -6,17 +6,24 @@ tests emulate an 8-device mesh without a TPU).
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# YP_TPU_TESTS=1 keeps the real TPU backend so the `tpu`-marked hardware
+# parity gates (tests/test_tpu_parity.py) can run compiled Mosaic kernels:
+#   YP_TPU_TESTS=1 python -m pytest tests/test_tpu_parity.py -m tpu -v
+_ON_TPU = os.environ.get("YP_TPU_TESTS", "") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 # The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu" via
 # jax.config at interpreter start, overriding the env var — override it back
 # BEFORE any backend initializes so tests run on the 8-device virtual CPU.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path
