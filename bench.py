@@ -54,7 +54,25 @@ def _build_pipeline(batch: int, H: int = 640, W: int = 640):
     )
 
 
-def bench_throughput(batch: int = BATCH, iters: int = 12, warmup: int = 3) -> float:
+# TPU v5e (v5 lite) peak dense matmul throughput, bf16
+PEAK_TFLOPS_BF16 = 197.0
+
+
+def _program_flops(jitted, *args) -> float:
+    """FLOPs of one execution of a jitted program, from XLA's compiled cost
+    analysis (falls back to 0.0 if the backend doesn't report it)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_throughput(batch: int = BATCH, iters: int = 12, warmup: int = 3):
+    """Returns (img_s, stats): headline throughput plus the quantitative
+    breakdown — program FLOPs -> MFU, and forward-vs-decode time split."""
     import jax
     import jax.numpy as jnp
 
@@ -70,7 +88,129 @@ def bench_throughput(batch: int = BATCH, iters: int = 12, warmup: int = 3) -> fl
         out = pipe(img)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    img_s = batch * iters / dt
+
+    # ---- quantitative accounting ----
+    flops = _program_flops(pipe._jitted, img)
+    mfu = flops / batch * img_s / (PEAK_TFLOPS_BF16 * 1e12) if flops else 0.0
+
+    # forward-only program (conv stack, no decode) for the time split
+    fwd = jax.jit(
+        lambda x: pipe.model.apply(
+            pipe.variables, x.astype(pipe.compute_dtype), train=False, decode=False
+        )
+    )
+    total_ms = _median_program_ms(pipe, (img,), chunks=4, per_chunk=5)
+    fwd_ms = _median_program_ms(fwd, (img,), chunks=4, per_chunk=5)
+    stats = {
+        "mfu": round(mfu, 4),
+        "gflops_per_image": round(flops / batch / 1e9, 2) if flops else None,
+        "forward_ms": round(fwd_ms, 2),
+        "decode_ms": round(max(total_ms - fwd_ms, 0.0), 2),
+        "peak_tflops_bf16": PEAK_TFLOPS_BF16,
+    }
+    return img_s, stats
+
+
+def bench_kitti_n(batch: int = 64, iters: int = 10, warmup: int = 3) -> float:
+    """BASELINE.json config #2: YOLOPoint-N batched KITTI-shape inference
+    (288x896 crop frame, `/root/reference/configs/kitti.yaml:9,64`) with the
+    fused keypoint-NMS + box-NMS decode on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolopoint_tpu.frontend.pipeline import InferencePipeline
+    from yolopoint_tpu.models import build_model
+    from yolopoint_tpu.models.convert import fold_batch_norm
+
+    H, W = 288, 896
+    model_f32 = build_model("YOLOPoint", "n", nc=3)
+    variables = model_f32.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), train=False
+    )
+    model = build_model("YOLOPoint", "n", nc=3, dtype=jnp.bfloat16, fused=True)
+    pipe = InferencePipeline(
+        model, fold_batch_norm(variables),
+        # reference kitti_inference.yaml operating point
+        {"detection_threshold": 0.12, "nms": 8, "top_k": 600,
+         "conf_thresh": 0.25, "iou_thresh": 0.45, "max_det": 300},
+        compute_dtype=jnp.bfloat16,
+    )
+    img = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (batch, H, W, 3)), jnp.float32
+    )
+    for _ in range(warmup):
+        out = pipe(img)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipe(img)
+    jax.block_until_ready(out)
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def bench_train_step(batch: int = 16, iters: int = 8, warmup: int = 2):
+    """Training-step throughput: full jitted joint train step (augmented
+    views on device, detector + descriptor + object losses, grads, optimizer,
+    EMA) for YOLOPoint-S 640px, device-resident batch. Returns
+    (img_s, train_mfu)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolopoint_tpu.losses.objects import ObjectLossConfig
+    from yolopoint_tpu.models import build_model
+    from yolopoint_tpu.parallel.mesh import make_mesh, shard_batch
+    from yolopoint_tpu.training.state import create_train_state, make_optimizer
+    from yolopoint_tpu.training.step import (
+        LossWeights, make_train_step, rescale_yolo_gains,
+    )
+
+    H = W = 640
+    mesh = make_mesh()
+    model = build_model("YOLOPoint", "s", nc=80, dtype=jnp.bfloat16)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, H, W, 3),
+        tx=make_optimizer(learning_rate=1e-3), ema=True,
+    )
+    aug = {
+        "photometric": {"enable": False},
+        "homographic": {"enable": True, "params": {"patch_ratio": 0.85},
+                        "valid_border_margin": 3},
+        "warped_pair": {"params": {"patch_ratio": 0.85}},
+    }
+    obj = rescale_yolo_gains(ObjectLossConfig(), nc=80, img_size=H)
+    weights = LossWeights(num_samples_per_image=600,
+                          num_masked_non_matches_per_match=100)
+    step = make_train_step(model, mesh, aug, obj, weights, 80,
+                           donate=False, ema_decay=0.9999, ema_tau=2000.0)
+    rng = np.random.default_rng(4)
+    batch_np = {
+        "image": rng.uniform(0, 1, (batch, H, W, 3)).astype(np.float32),
+        "points": rng.uniform(8, H - 8, (batch, 200, 2)).astype(np.float32),
+        "point_mask": np.ones((batch, 200), bool),
+        "boxes": np.concatenate(
+            [rng.uniform(100, 500, (batch, 30, 4)),
+             rng.integers(0, 80, (batch, 30, 1)).astype(np.float32)], axis=-1
+        ).astype(np.float32),
+        "box_mask": np.ones((batch, 30), bool),
+    }
+    sb = shard_batch(batch_np, mesh)
+    key = jax.random.PRNGKey(5)
+    for _ in range(warmup):
+        state, aux = step(state, sb, key)
+    jax.block_until_ready(aux["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, aux = step(state, sb, key)
+    jax.block_until_ready(aux["loss"])
+    img_s = batch * iters / (time.perf_counter() - t0)
+    flops = 0.0
+    try:
+        flops = _program_flops(step, state, sb, key)
+    except Exception:
+        pass
+    mfu = flops / batch * img_s / (PEAK_TFLOPS_BF16 * 1e12) if flops else 0.0
+    return img_s, round(mfu, 4)
 
 
 def _median_program_ms(fn, args, chunks: int = 6, per_chunk: int = 10) -> float:
@@ -182,7 +322,9 @@ if __name__ == "__main__":
     # pipelined B=32 loop is insensitive to it)
     kpt_ms = bench_kpt_nms_match()
     batch1_ms = bench_batch1_latency()
-    value = bench_throughput()
+    value, stats = bench_throughput()
+    kitti_n = bench_kitti_n()
+    train_img_s, train_mfu = bench_train_step()
     print(json.dumps({
         "metric": "yolopoint_s_640_inference",
         "value": round(value, 2),
@@ -192,4 +334,8 @@ if __name__ == "__main__":
         "batch1_ms_p50": round(batch1_ms, 3),
         "kpt_match_ms_p50": round(kpt_ms, 3),
         "precision": "bf16-fused",
+        **stats,
+        "kitti_n_img_s": round(kitti_n, 2),
+        "train_img_s": round(train_img_s, 2),
+        "train_mfu": train_mfu,
     }))
