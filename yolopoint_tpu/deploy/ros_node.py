@@ -150,9 +150,9 @@ def main():
 
     from yolopoint_tpu.frontend.pipeline import InferencePipeline
     from yolopoint_tpu.models import build_model
-    from yolopoint_tpu.models.convert import load_torch_checkpoint
+    from yolopoint_tpu.models.convert import load_weights
 
-    loaded = load_torch_checkpoint(args.weights)
+    loaded = load_weights(args.weights)
     meta = loaded["meta"]
     names = meta.get("names", [])
     model = build_model(meta.get("model_name", "YOLOPoint"), meta.get("version", "s"),

@@ -42,12 +42,12 @@ def build_node():
     from yolopoint_tpu.deploy.ros_node import YoloPointRosNode
     from yolopoint_tpu.frontend.pipeline import InferencePipeline
     from yolopoint_tpu.models import build_model
-    from yolopoint_tpu.models.convert import fold_batch_norm, load_torch_checkpoint
+    from yolopoint_tpu.models.convert import fold_batch_norm, load_weights
 
     rospy.init_node("yolopoint_tpu")
     cfg = load_param_config(rospy)
 
-    loaded = load_torch_checkpoint(str(cfg["weights"]))
+    loaded = load_weights(str(cfg["weights"]))
     meta = loaded["meta"]
     names = list(meta.get("names", cfg.get("names", [])))
     bf16 = str(cfg.get("compute_dtype", "bf16")).lower() in ("bf16", "bfloat16")

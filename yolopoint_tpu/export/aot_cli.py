@@ -32,7 +32,7 @@ def main(argv=None):
 
     from yolopoint_tpu.export.aot import save_serving_artifact
     from yolopoint_tpu.models import build_model
-    from yolopoint_tpu.models.convert import fold_batch_norm, load_torch_checkpoint
+    from yolopoint_tpu.models.convert import fold_batch_norm, load_weights
     from yolopoint_tpu.utils.config import get as cfg_get, load_config
     from yolopoint_tpu.utils.logging import LOGGER
 
@@ -43,11 +43,12 @@ def main(argv=None):
         op_config.update(cfg_get(cfg, "model.yolo", {}) or {})
 
     if args.weights:
-        loaded = load_torch_checkpoint(args.weights)
+        loaded = load_weights(args.weights)
         variables = loaded["variables"]
-        model_name = loaded.get("model_name", args.model)
-        version = loaded.get("version", args.version)
-        nc = len(loaded.get("names", [])) or args.nc
+        meta = loaded.get("meta", {})
+        model_name = meta.get("model_name", args.model)
+        version = meta.get("version", args.version)
+        nc = len(meta.get("names", []) or []) or args.nc
     else:
         model_name, version, nc = args.model, args.version, args.nc
         m0 = build_model(model_name, version, nc=nc)

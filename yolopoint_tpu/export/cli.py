@@ -41,8 +41,13 @@ def main(argv=None):
     model = build_model(model_cfg.get("name", "YOLOPointDet"),
                         model_cfg.get("version", "s"), nc=max(len(names), 1))
     if weights:
-        loaded = load_torch_checkpoint(str(weights))
-        variables = loaded["variables"]
+        if Path(weights).is_dir():  # our own orbax run dir / best dir
+            from yolopoint_tpu.training.checkpoint import load_run_variables
+
+            variables = load_run_variables(weights)
+        else:  # reference torch .pth.tar
+            loaded = load_torch_checkpoint(str(weights))
+            variables = loaded["variables"]
         LOGGER.info(f"loaded weights from {weights}")
     else:  # random weights: still runs (useful for pipeline smoke tests)
         import jax.numpy as jnp

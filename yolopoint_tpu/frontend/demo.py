@@ -83,12 +83,12 @@ def main(argv=None):
     from yolopoint_tpu.frontend.pipeline import InferencePipeline
     from yolopoint_tpu.frontend.tracker import PointTracker
     from yolopoint_tpu.models import build_model
-    from yolopoint_tpu.models.convert import fold_batch_norm, load_torch_checkpoint
+    from yolopoint_tpu.models.convert import fold_batch_norm, load_weights
 
     names = None
     model_name, version, nc = args.model, args.version, 80
-    if args.weights and args.weights.endswith((".tar", ".pth", ".pt")):
-        loaded = load_torch_checkpoint(args.weights)
+    if args.weights:
+        loaded = load_weights(args.weights)
         variables = loaded["variables"]
         meta = loaded["meta"]
         names = meta.get("names")

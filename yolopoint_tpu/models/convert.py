@@ -110,6 +110,29 @@ def load_torch_checkpoint(path: str) -> dict:
     return {"variables": torch_state_dict_to_variables(sd), "meta": meta}
 
 
+def load_weights(path) -> dict:
+    """Unified weights loader for every CLI/entry point: reference torch
+    `.pth(.tar)` files (converted to Flax) OR this framework's own orbax
+    run/best/step directories (EMA-preferred). Returns
+    `{"variables": {"params", "batch_stats"}, "meta": {...}}`.
+    """
+    import json
+    from pathlib import Path
+
+    p = Path(path)
+    if p.is_dir():
+        from yolopoint_tpu.training.checkpoint import load_run_variables
+
+        variables = load_run_variables(p)
+        meta = {}
+        for mp in (p / "best_meta.json", p.parent / "best_meta.json"):
+            if mp.exists():
+                meta = json.loads(mp.read_text())
+                break
+        return {"variables": variables, "meta": meta}
+    return load_torch_checkpoint(str(p))
+
+
 def merge_partial_variables(
     target: Mapping[str, Any],
     source: Mapping[str, Any],

@@ -273,6 +273,22 @@ class TrainAgent:
             )
             LOGGER.info(f"loaded torch weights from {p} "
                         f"({len(report['loaded'])} tensors)")
+        elif p.is_dir():  # our own orbax run (retrain-on-pseudo-labels stage)
+            from yolopoint_tpu.training.checkpoint import load_run_variables
+
+            variables = load_run_variables(p)
+            target = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+            merged, report = merge_partial_variables(target, variables)
+            if report["shape_mismatch"]:
+                LOGGER.info(
+                    f"reinitialized {len(report['shape_mismatch'])} mismatched "
+                    f"tensors: {report['shape_mismatch'][:4]}..."
+                )
+            self.state = self.state.replace(
+                params=merged["params"], batch_stats=merged["batch_stats"]
+            )
+            LOGGER.info(f"loaded orbax weights from {p} "
+                        f"({len(report['loaded'])} tensors)")
         if sp := self.config.get("shrink_perturb"):
             self.rng, k = jax.random.split(self.rng)
             self.state = self.state.replace(

@@ -121,3 +121,29 @@ class CheckpointManager:
         if "ema_params" in payload:
             restored = restored.replace(ema_params=payload["ema_params"])
         return restored, meta
+
+
+def load_run_variables(path, prefer_ema: bool = True) -> dict:
+    """Weights-only restore for inference/export from a training run.
+
+    Accepts a run directory (containing `best/` or `ckpts/`), the `best/`
+    directory itself, or a specific orbax step directory; no state template
+    needed. Returns `{"params": ..., "batch_stats": ...}` ready for
+    `model.apply`, preferring the EMA shadow when present (the reference
+    validates and ships EMA weights, `torch_utils_yolo.py:315-349`).
+    """
+    p = Path(path).resolve()
+    if (p / "best").exists():
+        p = p / "best"
+    elif (p / "ckpts").exists():
+        steps = sorted(
+            int(d.name) for d in (p / "ckpts").iterdir() if d.name.isdigit()
+        )
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {p / 'ckpts'}")
+        p = p / "ckpts" / str(steps[-1])
+    payload = ocp.StandardCheckpointer().restore(p)
+    params = payload.get("params")
+    if prefer_ema and payload.get("ema_params"):
+        params = payload["ema_params"]
+    return {"params": params, "batch_stats": payload.get("batch_stats", {})}
