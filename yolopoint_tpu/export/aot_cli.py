@@ -34,7 +34,9 @@ def main(argv=None):
     from yolopoint_tpu.models import build_model
     from yolopoint_tpu.models.convert import fold_batch_norm, load_weights
     from yolopoint_tpu.utils.config import get as cfg_get, load_config
-    from yolopoint_tpu.utils.logging import LOGGER
+    from yolopoint_tpu.utils.logging import LOGGER, enable_compile_cache
+
+    enable_compile_cache()
 
     op_config = {}
     if args.config:

@@ -29,7 +29,9 @@ def main(argv=None):
     from yolopoint_tpu.models import build_model
     from yolopoint_tpu.models.convert import load_torch_checkpoint
     from yolopoint_tpu.utils.config import get as cfg_get, load_config
-    from yolopoint_tpu.utils.logging import LOGGER
+    from yolopoint_tpu.utils.logging import LOGGER, enable_compile_cache
+
+    enable_compile_cache()
 
     config = load_config(args.config)
     export_cfg = config.get("export", {})

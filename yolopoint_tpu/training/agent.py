@@ -341,7 +341,7 @@ class TrainAgent:
 
         self._profile_started = False
         self._profile_stopped = False
-        self._next_log = 50
+        self._next_log = 1  # log the first dispatch (post-compile) then every 50
         for epoch in range(self.start_epoch, self.epochs):
             pending: list = []
             for batch in self.train_loader:

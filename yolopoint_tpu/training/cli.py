@@ -35,7 +35,9 @@ def main(argv=None):
     from yolopoint_tpu.data.loader import DataLoader
     from yolopoint_tpu.training.agent import TrainAgent
     from yolopoint_tpu.utils.config import load_config, resolve_sub_configs, save_config
-    from yolopoint_tpu.utils.logging import LOGGER
+    from yolopoint_tpu.utils.logging import LOGGER, enable_compile_cache
+
+    enable_compile_cache()
 
     overrides = {}
     if args.model or args.version:

@@ -35,6 +35,17 @@ def make_logger(name: str = "yolopoint_tpu", verbose: bool = True) -> logging.Lo
 LOGGER = make_logger()
 
 
+def enable_compile_cache(path: str = "/tmp/yolopoint_jax_cache") -> None:
+    """Persistent XLA compilation cache shared by the CLIs and bench: the
+    train step on the tunneled v5e takes minutes to compile cold, seconds
+    warm (same knobs as bench.py)."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 class MetricsWriter:
     """Append-only JSONL scalar stream with optional TensorBoard mirror."""
 
