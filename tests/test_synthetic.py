@@ -155,3 +155,21 @@ def test_synthetic_train_step_decreases_loss():
         state, aux = step(state, sb, jax.random.PRNGKey(i))
         losses.append(float(aux["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_points_dir_pseudo_labels(tmp_path):
+    """Stage-3 bootstrap: generation.points_dir swaps the exact rendered
+    corners for exported {name}.npz pseudo-labels on the TRAIN split only
+    (the reference's datasets load keypoint labels from .npz the same way,
+    `/root/reference/src/datasets/DataClasses.py:92-112`)."""
+    fake = np.array([[10.0, 20.0, 0.9], [33.0, 44.0, 0.5]], np.float32)
+    np.savez_compressed(tmp_path / "synth_train_000002.npz", pts=fake)
+    cfg = dict(CFG, generation={"seed": 3, "points_dir": str(tmp_path)})
+
+    s = _ds("train", cfg=cfg).get(2)
+    np.testing.assert_allclose(s["points"], fake[:, :2])
+
+    # val split keeps exact labels (metrics measured against ground truth)
+    sv = _ds("val", cfg=cfg).get(2)
+    exact = _ds("val").get(2)["points"]
+    np.testing.assert_allclose(sv["points"], exact)

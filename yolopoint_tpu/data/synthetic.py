@@ -373,6 +373,11 @@ class SyntheticShapes:
         self.primitives = gen.get("primitives")
         self.blur_prob = float(gen.get("blur_prob", 0.5))
         self.seed = int(gen.get("seed", 17))
+        # stage-3 of the bootstrap loop: train against homographic-adaptation
+        # pseudo-labels ({name}.npz {pts}) instead of the exact rendered
+        # corners — the reference's datasets read keypoint labels the same
+        # way (`/root/reference/src/datasets/DataClasses.py:92-112`)
+        self.points_dir = gen.get("points_dir")
         # map renderer class ids -> position in the run's `names`
         names = list(names)
         self.cls_map = np.array(
@@ -393,6 +398,14 @@ class SyntheticShapes:
             boxes = np.concatenate(
                 [mapped[keep, None].astype(np.float32), boxes[keep, 1:]], 1
             )
+        # pseudo-labels replace the exact corners for TRAINING only; val keeps
+        # exact labels so stage-3 metrics are measured against ground truth
+        if self.points_dir is not None and self.action == "train":
+            import os
+
+            p = os.path.join(self.points_dir, f"synth_{self.action}_{idx:06d}.npz")
+            arr = np.load(p)["pts"]  # (K, 3) [x, y, prob] export schema
+            pts = arr[:, :2].astype(np.float32)
         img3 = np.repeat(img[..., None], 3, axis=2)
         return {
             "image": img3.astype(np.float32) / 255.0,
