@@ -32,8 +32,7 @@ def test_shapes_and_ranges():
     for i in range(20):
         s = ds.get(i)
         assert s["image"].shape == (128, 160, 3)
-        assert s["image"].dtype == np.float32
-        assert 0.0 <= s["image"].min() and s["image"].max() <= 1.0
+        assert s["image"].dtype == np.uint8  # u8 payload, normalized on device
         if len(s["points"]):
             assert s["points"][:, 0].max() <= 159 and s["points"][:, 1].max() <= 127
             assert s["points"].min() >= 0
@@ -69,7 +68,7 @@ def test_points_lie_on_corners():
         pts = s["points"]
         if not len(pts):
             continue
-        g = np.float32(s["image"][..., 0])
+        g = np.float32(s["image"][..., 0]) / 255.0  # Harris threshold below assumes [0,1]
         R = cv2.dilate(cv2.cornerHarris(g, 4, 5, 0.04), np.ones((5, 5)))
         xi = np.clip(pts[:, 0].round().astype(int), 0, 159)
         yi = np.clip(pts[:, 1].round().astype(int), 0, 127)
@@ -78,6 +77,27 @@ def test_points_lie_on_corners():
     lab, rand = np.array(lab), np.array(rand)
     assert (lab > 1e-4).mean() > 0.8
     assert (rand > 1e-4).mean() < 0.2
+
+
+def test_render_cache_hit_and_isolation():
+    """Second epoch must not re-render (cache hit) and cached label arrays
+    must be isolated from caller mutation."""
+    ds = _ds()
+    a = ds.get(5)
+    assert 5 in ds._cache
+    import unittest.mock as mock
+
+    with mock.patch("yolopoint_tpu.data.synthetic.render_sample",
+                    side_effect=AssertionError("re-rendered cached idx")):
+        b = ds.get(5)
+    assert np.array_equal(a["image"], b["image"])
+    if len(b["points"]):
+        b["points"][:] = -1.0  # mutate the returned copy...
+        assert not np.array_equal(ds.get(5)["points"], b["points"])  # ...cache intact
+
+    ds_nc = _ds(cfg=dict(CFG, generation={"seed": 3, "cache": False}))
+    ds_nc.get(5)
+    assert not ds_nc._cache
 
 
 def test_class_name_mapping_drops_unknown():

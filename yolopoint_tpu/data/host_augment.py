@@ -225,7 +225,11 @@ def host_warp_views(
     `precomputed_{image_base, valid_base, image_pair, valid_pair, h1, h2}`
     consumed by `build_training_views(..., precomputed=...)`.
     """
-    images = np.asarray(batch["image"], np.float32)
+    images = np.asarray(batch["image"])
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 255.0
+    else:
+        images = images.astype(np.float32, copy=False)
     B, Hf, Wf = images.shape[:3]
     mosaic = "mosaic_crop_yx" in batch
     crop_yx = batch.get("mosaic_crop_yx", batch.get("crop_yx"))

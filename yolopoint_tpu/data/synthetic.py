@@ -373,6 +373,16 @@ class SyntheticShapes:
         self.primitives = gen.get("primitives")
         self.blur_prob = float(gen.get("blur_prob", 0.5))
         self.seed = int(gen.get("seed", 17))
+        # RAM cache of rendered samples: a sample is a pure function of
+        # (seed, split, index), so re-rendering every epoch only burns host
+        # CPU (the single-core host is the training bottleneck at ~65 ms of
+        # cv2 drawing per sample; the jitted device step is ~6x faster).
+        # Grayscale u8 + small label arrays: 20k train imgs @ 256x320 = 1.6 GB.
+        # Epoch-to-epoch variety comes from the on-device homographic +
+        # photometric augmentation, exactly as the reference varies its
+        # pre-exported datasets (`/root/reference/src/datasets/DataClasses.py:279-367`).
+        self.cache_images = bool(gen.get("cache", True))
+        self._cache: dict[int, tuple] = {}
         # stage-3 of the bootstrap loop: train against homographic-adaptation
         # pseudo-labels ({name}.npz {pts}) instead of the exact rendered
         # corners — the reference's datasets read keypoint labels the same
@@ -388,10 +398,19 @@ class SyntheticShapes:
     def __len__(self) -> int:
         return self._len
 
-    def get(self, idx: int, mosaic: Optional[bool] = None) -> dict[str, Any]:
+    def _render(self, idx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        cached = self._cache.get(idx)
+        if cached is not None:
+            return cached
         rng = _rng_for(self.seed, self.action, int(idx))
         H, W = self.hw
-        img, pts, boxes = render_sample(rng, H, W, self.primitives, self.blur_prob)
+        out = render_sample(rng, H, W, self.primitives, self.blur_prob)
+        if self.cache_images:
+            self._cache[idx] = out
+        return out
+
+    def get(self, idx: int, mosaic: Optional[bool] = None) -> dict[str, Any]:
+        img, pts, boxes = self._render(int(idx))
         if len(boxes):
             mapped = self.cls_map[boxes[:, 0].astype(np.int64)]
             keep = mapped >= 0
@@ -406,9 +425,14 @@ class SyntheticShapes:
             p = os.path.join(self.points_dir, f"synth_{self.action}_{idx:06d}.npz")
             arr = np.load(p)["pts"]  # (K, 3) [x, y, prob] export schema
             pts = arr[:, :2].astype(np.float32)
+        else:
+            pts = pts.copy()  # cached array must not leak to mutable consumers
         img3 = np.repeat(img[..., None], 3, axis=2)
         return {
-            "image": img3.astype(np.float32) / 255.0,
+            # u8 payload: the device step (build_training_views) and the
+            # host-warp path both normalize; keeps the collate stack and the
+            # host->device transfer 4x cheaper on this 1-core host
+            "image": img3,
             "boxes": boxes,
             "points": pts,
             "pad": (0, 0, 0, 0),
@@ -419,4 +443,4 @@ class SyntheticShapes:
         """(name, float image) pairs for homographic-adaptation export."""
         for idx in range(len(self)):
             s = self.get(idx)
-            yield s["name"], s["image"]
+            yield s["name"], s["image"].astype(np.float32) / 255.0

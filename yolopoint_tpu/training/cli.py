@@ -67,13 +67,18 @@ def main(argv=None):
     aug_cfg = (config.get("data") or {}).get("augmentation") or {}
     # host_warp -> base/pair views are warped by CPU workers with the native
     # C++ kernel; the device step skips per-pixel warp gathers (see
-    # data.host_augment). DEFAULT follows native-library availability: the
-    # pure-numpy fallback warp is far too slow to feed a chip, so without the
-    # library the augmentation stays in the jitted step. Set host_warp
-    # explicitly to override either way.
+    # data.host_augment). DEFAULT requires BOTH the native library (the
+    # pure-numpy fallback warp is far too slow to feed a chip) and enough
+    # host cores to hide the warp behind the device step — on a 1-core host
+    # the warp serializes with dispatch and loses badly to device-side
+    # augmentation (measured: 13.5 s/step host vs ~0.4 s device at B=32).
+    # Set host_warp explicitly to override either way.
+    import os
+
     from yolopoint_tpu.data.native import warp_backend
 
-    host_warp = bool(aug_cfg.get("host_warp", warp_backend() == "native"))
+    host_warp = bool(aug_cfg.get(
+        "host_warp", warp_backend() == "native" and (os.cpu_count() or 1) >= 4))
     host_cfg = aug_cfg if host_warp else None
     LOGGER.info(
         f"augmentation warp path: "
