@@ -1,0 +1,94 @@
+"""Device-resident dataset tests: the jitted on-device index-gather must
+yield exactly the batches the host loader would (same epoch schedule, same
+payloads), sharded along the data axis of the mesh."""
+
+import numpy as np
+import pytest
+
+from yolopoint_tpu.data.loader import DataLoader
+from yolopoint_tpu.data.synthetic import SHAPE_CLASS_NAMES, SyntheticShapes
+
+CFG = {
+    "dataset": "synthetic_shapes",
+    "preprocessing": {"resize": [64, 64]},
+    "length": {"train": 32, "val": 8},
+    "generation": {"seed": 5},
+}
+
+
+def _base(seed=1):
+    ds = SyntheticShapes(CFG, "train", names=list(SHAPE_CLASS_NAMES))
+    return DataLoader([ds], batch_size=8, shuffle=True, seed=seed,
+                      max_points=64, max_boxes=16)
+
+
+def test_matches_host_loader_batches():
+    from yolopoint_tpu.data.device_data import DeviceDataLoader
+    from yolopoint_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    dev = DeviceDataLoader(_base(), mesh)
+    host = _base()
+    for bh, bd in zip(host, dev):
+        bh.pop("names")
+        assert set(bd) == set(bh)
+        assert np.asarray(bd["image"]).dtype == bh["image"].dtype
+        for k in bh:
+            np.testing.assert_array_equal(np.asarray(bd[k]), bh[k], err_msg=k)
+        # data-parallel layout: batch dim sharded over the mesh
+        spec = bd["image"].sharding.spec
+        assert spec and spec[0] is not None
+
+
+def test_epoch_schedules_advance():
+    from yolopoint_tpu.data.device_data import DeviceDataLoader
+    from yolopoint_tpu.parallel.mesh import make_mesh
+
+    dev = DeviceDataLoader(_base(), make_mesh())
+    e1 = [np.asarray(b["image"]) for b in dev]
+    e2 = [np.asarray(b["image"]) for b in dev]
+    assert len(e1) == len(dev) == 4
+    assert not all(np.array_equal(a, b) for a, b in zip(e1, e2))
+
+
+def test_rejects_host_warp_and_mosaic():
+    from yolopoint_tpu.data.device_data import DeviceDataLoader
+    from yolopoint_tpu.parallel.mesh import make_mesh
+
+    base = _base()
+    base.host_augment_config = {"homographic": {}}
+    with pytest.raises(ValueError):
+        DeviceDataLoader(base, make_mesh())
+
+
+def test_train_step_on_device_batches():
+    """End-to-end: a jitted train step consumes gathered device batches
+    (u8 image normalized inside the step) and produces a finite loss."""
+    import jax
+
+    from yolopoint_tpu.data.device_data import DeviceDataLoader
+    from yolopoint_tpu.losses.objects import ObjectLossConfig
+    from yolopoint_tpu.models import build_model
+    from yolopoint_tpu.parallel.mesh import make_mesh
+    from yolopoint_tpu.training.state import create_train_state, make_optimizer
+    from yolopoint_tpu.training.step import LossWeights, make_train_step
+
+    mesh = make_mesh()
+    dev = DeviceDataLoader(_base(), mesh)
+    model = build_model("YOLOPoint", "n", nc=len(SHAPE_CLASS_NAMES))
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, 64, 64, 3),
+        tx=make_optimizer(learning_rate=1e-3, steps_per_epoch=4),
+    )
+    aug = {"homographic": {"enable": True, "params": {"perspective": True},
+                           "valid_border_margin": 2},
+           "warped_pair": {"params": {"perspective": True}}}
+    step = make_train_step(
+        model, mesh, aug, ObjectLossConfig(),
+        LossWeights(num_samples_per_image=32,
+                    num_masked_non_matches_per_match=8),
+        len(SHAPE_CLASS_NAMES), donate=False,
+    )
+    batch = next(iter(dev))
+    _, aux = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["loss"]))

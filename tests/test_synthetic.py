@@ -177,6 +177,31 @@ def test_synthetic_train_step_decreases_loss():
     assert losses[-1] < losses[0]
 
 
+def test_materialize_roundtrip(tmp_path):
+    """tools/make_synthetic_dataset.py writes the on-disk layout that
+    ImagePointBoxDataset reads back (images/labels/points dirs)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from tools.make_synthetic_dataset import materialize
+
+    from yolopoint_tpu.data.datasets import ImagePointBoxDataset
+
+    materialize(tmp_path / "synds", "train", 3, (128, 160), seed=3)
+    ds = ImagePointBoxDataset(
+        {"dataset": "synds", "preprocessing": {"img_size": 160},
+         "labels": {"points": str(tmp_path / "synds" / "points")}},
+        "train", names=NAMES, root=str(tmp_path))
+    assert len(ds) == 3
+    s = ds.get(0)
+    src = _ds(cfg=dict(CFG, preprocessing={"resize": [128, 160]},
+                       length={"train": 3})).get(0)
+    # same source sample modulo the loader's square letterbox
+    assert s["image"].shape == (160, 160, 3)
+    assert len(s["points"]) == len(src["points"])
+    assert len(s["boxes"]) == len(src["boxes"])
+
+
 def test_points_dir_pseudo_labels(tmp_path):
     """Stage-3 bootstrap: generation.points_dir swaps the exact rendered
     corners for exported {name}.npz pseudo-labels on the TRAIN split only

@@ -240,6 +240,11 @@ def test_agent_train_epoch_freezes_and_emas(tiny_agent):
         before["Conv3"]["conv"]["kernel"] - np.asarray(after["Conv3"]["conv"]["kernel"])
     ).max()
     assert c3_delta > 0
+    # terminal marker for tools/bootstrap.py orchestration
+    import json
+
+    done = json.loads((agent.output_dir / "done.json").read_text())
+    assert done["stopped_early"] is False and done["global_step"] > 0
 
 
 def test_bf16_train_step_finite(rng):

@@ -39,7 +39,10 @@ def pad_collate(
     B = len(samples)
     H, W, C = samples[0]["image"].shape
     batch = {
-        "image": np.zeros((B, H, W, C), np.float32),
+        # preserve the sample dtype: u8 payloads stay u8 through collate and
+        # the host->device transfer (4x less tunnel traffic); the device step
+        # / host-warp path normalize to f32
+        "image": np.zeros((B, H, W, C), samples[0]["image"].dtype),
         "points": np.zeros((B, max_points, 2), np.float32),
         "point_mask": np.zeros((B, max_points), bool),
         "boxes": np.zeros((B, max_boxes, 5), np.float32),

@@ -342,6 +342,8 @@ class TrainAgent:
         self._profile_started = False
         self._profile_stopped = False
         self._next_log = 1  # log the first dispatch (post-compile) then every 50
+        epoch = self.start_epoch - 1
+        stopped_early = False
         for epoch in range(self.start_epoch, self.epochs):
             pending: list = []
             for batch in self.train_loader:
@@ -403,7 +405,18 @@ class TrainAgent:
                     f"early stopping at epoch {epoch}: no fitness improvement "
                     f"in the last {self.stopper.patience} epochs"
                 )
+                stopped_early = True
                 break
+        # terminal marker for orchestration (tools/bootstrap.py) — only
+        # written when the epoch loop actually finished, not on interrupt
+        import json as _json
+
+        (self.output_dir / "done.json").write_text(_json.dumps({
+            "last_epoch": int(epoch),
+            "global_step": int(self.global_step),
+            "best_fitness": float(self.best_fitness),
+            "stopped_early": stopped_early,
+        }))
 
     # ---------------- validation ----------------
 

@@ -88,6 +88,30 @@ def main(argv=None):
         train_sets, int(tp.get("train_batch_size", 8)), shuffle=True,
         seed=args.seed, host_augment_config=host_cfg,
     )
+    # device-resident training data (data.device_resident: true|false|auto):
+    # when the whole set fits in HBM and the feed path is plain (no
+    # host-warp, no mosaic), push it to the device once and gather batches
+    # by index inside jit — per-step host->device traffic drops from the
+    # image batch (tens of MB over the tunnel) to a (B,) index vector.
+    dev_res = (config.get("data") or {}).get("device_resident", "auto")
+    if dev_res is True or dev_res == "auto":
+        from yolopoint_tpu.data.device_data import (
+            DeviceDataLoader, dataset_nbytes,
+        )
+        from yolopoint_tpu.parallel.mesh import make_mesh
+
+        feed_plain = host_cfg is None and not train_loader.mosaic_prob
+        try:
+            fits = dataset_nbytes(train_sets, train_loader.max_points,
+                                  train_loader.max_boxes) < 6e9
+        except Exception:
+            fits = False
+        if (feed_plain and fits) if dev_res == "auto" else True:
+            train_loader = DeviceDataLoader(train_loader, make_mesh())
+        else:
+            LOGGER.info(
+                f"device_resident=auto: keeping host loader "
+                f"(plain_feed={feed_plain}, fits_hbm={fits})")
     val_aug = (config.get("data") or {}).get("val_augmentation") or aug_cfg
     val_host_cfg = val_aug if host_warp else None
     val_loader = DataLoader(
