@@ -61,6 +61,27 @@ def test_rejects_host_warp_and_mosaic():
         DeviceDataLoader(base, make_mesh())
 
 
+def test_host_array_disk_cache(tmp_path):
+    """Second build with the same generator config loads from the .npy
+    cache (no re-render); different config misses."""
+    import unittest.mock as mock
+
+    from yolopoint_tpu.data import device_data
+    from yolopoint_tpu.data.device_data import build_host_arrays
+
+    ds = SyntheticShapes(CFG, "train", names=list(SHAPE_CLASS_NAMES))
+    a = build_host_arrays([ds], 64, 16, cache_dir=str(tmp_path))
+    with mock.patch.object(type(ds), "get",
+                           side_effect=AssertionError("cache missed")):
+        b = build_host_arrays([ds], 64, 16, cache_dir=str(tmp_path))
+    for k in device_data.ARRAY_KEYS:
+        np.testing.assert_array_equal(a[k], np.asarray(b[k]), err_msg=k)
+    ds2 = SyntheticShapes(dict(CFG, generation={"seed": 6}), "train",
+                          names=list(SHAPE_CLASS_NAMES))
+    c = build_host_arrays([ds2], 64, 16, cache_dir=str(tmp_path))
+    assert not np.array_equal(c["image"], a["image"])
+
+
 def test_train_step_on_device_batches():
     """End-to-end: a jitted train step consumes gathered device batches
     (u8 image normalized inside the step) and produces a finite loss."""

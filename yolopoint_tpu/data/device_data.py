@@ -28,13 +28,55 @@ import numpy as np
 from yolopoint_tpu.utils.logging import LOGGER
 
 
+ARRAY_KEYS = ("image", "points", "point_mask", "boxes", "box_mask")
+
+
+def _dataset_cache_key(datasets, max_points, max_boxes):
+    """Stable digest of generator identity for the on-disk array cache —
+    only datasets that are pure functions of their config (the synthetic
+    renderer) are cacheable; anything else returns None."""
+    import hashlib
+    import os
+
+    parts = [f"v1|{max_points}|{max_boxes}"]
+    for d in datasets:
+        attrs = ("seed", "action", "hw", "primitives", "blur_prob")
+        if any(not hasattr(d, a) for a in attrs) or not hasattr(d, "points_dir"):
+            return None
+        pd = d.points_dir
+        pd_sig = ""
+        if pd is not None:
+            try:  # re-exported pseudo-labels at the same path -> new key
+                pd_sig = f"{pd}:{max(os.path.getmtime(os.path.join(pd, f)) for f in os.listdir(pd))}"
+            except (OSError, ValueError):
+                pd_sig = str(pd)
+        parts.append("|".join(str(getattr(d, a)) for a in attrs)
+                     + f"|{len(d)}|{pd_sig}")
+    return hashlib.sha1("||".join(parts).encode()).hexdigest()[:16]
+
+
 def build_host_arrays(
     datasets: Sequence[Any],
     max_points: int = 256,
     max_boxes: int = 64,
+    cache_dir: str | None = None,
 ) -> dict[str, np.ndarray]:
     """Materialize every sample of `datasets` into one set of fixed-shape
-    padded arrays (images stay u8; labels f32 + validity masks)."""
+    padded arrays (images stay u8; labels f32 + validity masks).
+
+    Deterministic generators are cached under `cache_dir` as .npy files
+    (images mmap-loaded) so a process restart skips the multi-minute
+    re-render on this single-core host."""
+    from pathlib import Path
+
+    key = _dataset_cache_key(datasets, max_points, max_boxes) if cache_dir else None
+    if key is not None:
+        cdir = Path(cache_dir) / key
+        if all((cdir / f"{k}.npy").exists() for k in ARRAY_KEYS):
+            LOGGER.info(f"device dataset: loading cached arrays from {cdir}")
+            return {k: np.load(cdir / f"{k}.npy",
+                               mmap_mode="r" if k == "image" else None)
+                    for k in ARRAY_KEYS}
     samples_total = sum(len(d) for d in datasets)
     first = datasets[0].get(0)
     H, W, C = first["image"].shape
@@ -67,6 +109,12 @@ def build_host_arrays(
             f"device dataset: truncated {overflow_pts} points / "
             f"{overflow_boxes} boxes beyond the ({max_points}, {max_boxes}) pad"
         )
+    if key is not None:
+        cdir = Path(cache_dir) / key
+        cdir.mkdir(parents=True, exist_ok=True)
+        for k, v in data.items():
+            np.save(cdir / f"{k}.npy", v)
+        LOGGER.info(f"device dataset: cached arrays -> {cdir}")
     return data
 
 
@@ -91,7 +139,7 @@ class DeviceDataLoader:
     plain-resize datasets this targets use none of them.
     """
 
-    def __init__(self, base, mesh):
+    def __init__(self, base, mesh, cache_dir: str | None = None):
         import jax
 
         from yolopoint_tpu.parallel.mesh import data_sharding
@@ -102,7 +150,8 @@ class DeviceDataLoader:
         self.mesh = mesh
         self.batch_size = base.batch_size
         self.steps_per_epoch = base.steps_per_epoch
-        host = build_host_arrays(base.datasets, base.max_points, base.max_boxes)
+        host = build_host_arrays(base.datasets, base.max_points, base.max_boxes,
+                                 cache_dir=cache_dir)
         nbytes = sum(v.nbytes for v in host.values())
         # replicate the dataset on every mesh device (single-chip: one copy);
         # the gather's OUTPUT is sharded along the data axis so the train

@@ -107,7 +107,9 @@ def main(argv=None):
         except Exception:
             fits = False
         if (feed_plain and fits) if dev_res == "auto" else True:
-            train_loader = DeviceDataLoader(train_loader, make_mesh())
+            train_loader = DeviceDataLoader(
+                train_loader, make_mesh(),
+                cache_dir=str(Path(args.data_root) / "_device_cache"))
         else:
             LOGGER.info(
                 f"device_resident=auto: keeping host loader "
