@@ -32,6 +32,12 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+# persistent XLA compile cache: the heavy train/val-step compiles (~5 min
+# each on this 1-core host) hit the cache on re-runs of the suite
+from yolopoint_tpu.utils.logging import enable_compile_cache
+
+enable_compile_cache("/tmp/yolopoint_jax_cache_tests")
+
 import numpy as np
 import pytest
 

@@ -51,6 +51,63 @@ def test_detector_loss_matches_reference(rng, ref_loss_mod):
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
 
 
+def test_detector_loss_finite_at_softmax_saturation(rng):
+    """Confident logits drive softmax to p == 1.0 (and on TPU's approximate
+    f32 divide, 1 + 1ulp). Loss AND grads must stay finite — the exact
+    failure that NaN'd a real training run at epoch 2."""
+    B, Hc, Wc = 1, 4, 4
+    semi = np.full((B, Hc, Wc, 65), -60.0, np.float32)
+    semi[..., 7] = 60.0  # p[7] == 1.0 exactly in f32, rest flushed to 0
+    labels2d = np.zeros((B, Hc * 8, Wc * 8), np.float32)
+    labels2d[:, 0, 0] = 1.0  # target says corner channel 0 -> model is
+    # confidently WRONG in cell (0,0): the log(1-p) term is at its worst
+    target = labels_to_cells(jnp.asarray(labels2d))
+    cmask = cell_valid_mask(jnp.ones((B, Hc * 8, Wc * 8), np.float32))
+
+    val, grads = jax.value_and_grad(
+        lambda s: detector_loss(s, target, cmask))(jnp.asarray(semi))
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grads)))
+    # and a p-slightly-above-1 input (what the TPU divide produces) must not
+    # leak a NaN through the log either: emulate by bypassing softmax range
+    p_bad = jnp.float32(1.0 + 1e-7)
+    assert np.isfinite(float(jnp.log(jnp.clip(p_bad, 0.0, 1.0) * 0 + (1.0 - jnp.clip(p_bad, 0.0, 1.0) + 1e-7))))
+
+
+def test_detector_loss_ce_matches_manual_and_stays_finite(rng):
+    """CE option (from-scratch MagicPoint objective): matches the manual
+    -sum(t·log_softmax) masked mean, and keeps bounded grads at the exact
+    saturated-logit input that maxes out the BCE variant."""
+    from yolopoint_tpu.losses.detector import detector_loss_ce
+
+    B, Hc, Wc = 2, 6, 8
+    semi = rng.normal(0, 3, (B, Hc, Wc, 65)).astype(np.float32)
+    labels2d = (rng.uniform(0, 1, (B, Hc * 8, Wc * 8)) > 0.97).astype(np.float32)
+    mask2d = np.ones((B, Hc * 8, Wc * 8), np.float32)
+    mask2d[:, -24:] = 0.0
+    target = np.asarray(labels_to_cells(jnp.asarray(labels2d)))
+    cmask = np.asarray(cell_valid_mask(jnp.asarray(mask2d)))
+
+    ours = float(detector_loss_ce(jnp.asarray(semi), jnp.asarray(target), jnp.asarray(cmask)))
+    x = semi - semi.max(-1, keepdims=True)
+    logp = x - np.log(np.exp(x).sum(-1, keepdims=True))
+    manual = ((-(target * logp).sum(-1) * cmask).sum() / cmask.sum())
+    np.testing.assert_allclose(ours, manual, rtol=1e-5)
+
+    # saturated confidently-wrong cell: grad must be bounded by p - t (<= 1)
+    semi_sat = np.full((1, 4, 4, 65), -60.0, np.float32)
+    semi_sat[..., 7] = 60.0
+    l2d = np.zeros((1, 32, 32), np.float32)
+    l2d[:, 0, 0] = 1.0
+    t = labels_to_cells(jnp.asarray(l2d))
+    m = cell_valid_mask(jnp.ones((1, 32, 32), np.float32))
+    val, grads = jax.value_and_grad(
+        lambda s: detector_loss_ce(s, t, m))(jnp.asarray(semi_sat))
+    g = np.asarray(grads)
+    assert np.isfinite(float(val)) and np.all(np.isfinite(g))
+    assert np.abs(g).max() <= 1.0  # (p - t) / n_valid_cells, per element
+
+
 class _FakeDetect:
     pass
 

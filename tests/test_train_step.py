@@ -73,6 +73,37 @@ def test_train_step_8dev_mesh_runs_and_updates(rng):
     # second step with the new state must also be finite (donation disabled)
     _, aux2 = step(new_state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(aux2["loss"]))
+    assert float(aux2["nonfinite_skip"]) == 0.0
+
+
+def test_train_step_skips_nonfinite_update(rng):
+    """A batch that produces non-finite grads must leave the ENTIRE state
+    (params, opt state, BN stats, step counter) untouched and report the
+    skip — the GradScaler-skip analog guarding one-off pathological
+    batches."""
+    mesh = make_mesh()
+    nc = 3
+    model = build_model("YOLOPoint", "n", nc=nc)
+    tx = make_optimizer(learning_rate=1e-3, lrf=0.1, total_epochs=1, steps_per_epoch=4)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 64, 64, 3), tx=tx)
+    obj_cfg = rescale_yolo_gains(ObjectLossConfig(), nc=nc, img_size=64)
+    weights = LossWeights(num_samples_per_image=32, num_masked_non_matches_per_match=8)
+    step = make_train_step(model, mesh, AUG_CONFIG, obj_cfg, weights, nc, donate=False)
+
+    batch = _tiny_batch(rng)
+    batch["image"][0] = np.nan  # poison one sample -> NaN loss/grads
+    new_state, aux = step(state, shard_batch(batch, mesh), jax.random.PRNGKey(1))
+    assert float(aux["nonfinite_skip"]) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(new_state.step) == int(state.step)
+    # a clean batch afterwards trains normally
+    clean = shard_batch(_tiny_batch(rng), mesh)
+    st2, aux2 = step(new_state, clean, jax.random.PRNGKey(2))
+    assert np.isfinite(float(aux2["loss"]))
+    assert float(aux2["nonfinite_skip"]) == 0.0
+    assert int(st2.step) == int(state.step) + 1
 
 
 def test_homographic_augment_shapes_and_masks(rng):

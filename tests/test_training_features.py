@@ -457,6 +457,10 @@ def test_agent_plumbs_desc_loss_type(tmp_path):
 
     assert mk({}).weights.desc_loss_type == "infonce"
     assert mk({"desc_loss": "sparse"}).weights.desc_loss_type == "sparse"
+    # detector loss: BCE is the reference-parity default; `det_loss: ce`
+    # selects the from-scratch MagicPoint cross-entropy
+    assert mk({}).weights.det_loss_type == "bce"
+    assert mk({"det_loss": "ce"}).weights.det_loss_type == "ce"
     # reference-schema params directly under sparse_loss (no `params:`)
     from yolopoint_tpu.training.agent import TrainAgent as TA
     cfg_ref_schema = {

@@ -7,7 +7,7 @@ dense mask formulation, and descriptor sampling uses fixed sample counts with
 validity weighting.
 """
 
-from yolopoint_tpu.losses.detector import detector_loss
+from yolopoint_tpu.losses.detector import detector_loss, detector_loss_ce
 from yolopoint_tpu.losses.objects import ObjectLossConfig, object_loss
 from yolopoint_tpu.losses.descriptor import (
     descriptor_loss_sparse,

@@ -179,11 +179,18 @@ class TrainAgent:
         ).lower()
         if desc_loss_type not in ("sparse", "infonce"):
             raise ValueError(f"desc_loss must be 'sparse' or 'infonce', got {desc_loss_type!r}")
+        # detector loss: "bce" = reference's BCE-after-softmax (parity,
+        # `loss_functions.py:600-619`, fine-tuning from pseudo-labels);
+        # "ce" = MagicPoint softmax cross-entropy for from-scratch stages
+        det_loss_type = str(sp.get("det_loss", "bce")).lower()
+        if det_loss_type not in ("bce", "ce"):
+            raise ValueError(f"det_loss must be 'bce' or 'ce', got {det_loss_type!r}")
         self.weights = LossWeights(
             lambda_desc=float(cfg_get(config, "model.lambda_loss", 0.1)),
             lambda_obj=float(cfg_get(config, "model.lambda_loss_obj", 10.0)),
             joint_training=bool(config.get("joint_training", True)),
             desc_loss_type=desc_loss_type,
+            det_loss_type=det_loss_type,
             num_samples_per_image=int(sparse.get("num_samples_per_image", 1000)),
             num_masked_non_matches_per_match=int(
                 sparse.get("num_masked_non_matches_per_match", 120)
@@ -377,6 +384,13 @@ class TrainAgent:
                     self._next_log = self.global_step + 50
                     per_step = self.timer.mean / max(self.steps_per_dispatch, 1)
                     scalars = {k_: float(v) for k_, v in aux.items()}
+                    if scalars.get("nonfinite_skip", 0.0) > 0:
+                        # checked at log cadence only: a per-step host read
+                        # would serialize the async dispatch pipeline
+                        LOGGER.warning(
+                            f"e{epoch} s{self.global_step}: non-finite grads "
+                            f"in the last dispatch — update(s) skipped"
+                        )
                     scalars["step_time"] = per_step
                     self.metrics.write(self.global_step, scalars, prefix="training/")
                     LOGGER.info(

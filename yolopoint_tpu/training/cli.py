@@ -16,7 +16,11 @@ import argparse
 from pathlib import Path
 
 
-def main(argv=None):
+def build_agent(argv=None):
+    """Parse train-CLI args and construct the fully-wired TrainAgent
+    (loaders, device-resident feed, run dir) without starting the epoch
+    loop — tools (NaN hunts, profilers) reuse the exact CLI setup so rng
+    state and data order replay bit-for-bit."""
     parser = argparse.ArgumentParser(description="Train YOLOPoint-TPU")
     parser.add_argument("--config", required=True)
     parser.add_argument("--exper_name", default="exp")
@@ -126,7 +130,11 @@ def main(argv=None):
     save_config(config, output_dir / "config.yml")
     LOGGER.info(f"training {config.get('model', {}).get('name')} -> {output_dir}")
 
-    agent = TrainAgent(config, output_dir, train_loader, val_loader, seed=args.seed)
+    return TrainAgent(config, output_dir, train_loader, val_loader, seed=args.seed)
+
+
+def main(argv=None):
+    agent = build_agent(argv)
     # interrupt-safe: agent.train() saves a `last` checkpoint on
     # KeyboardInterrupt (reference train.py:299-305)
     agent.train()

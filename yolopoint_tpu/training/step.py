@@ -31,7 +31,7 @@ from jax import shard_map
 
 from yolopoint_tpu.data.augmentation import build_training_views
 from yolopoint_tpu.losses.descriptor import descriptor_loss_sparse, infonce_loss
-from yolopoint_tpu.losses.detector import detector_loss
+from yolopoint_tpu.losses.detector import detector_loss, detector_loss_ce
 from yolopoint_tpu.losses.objects import ObjectLossConfig, object_loss
 from yolopoint_tpu.ops.heatmap import cell_valid_mask, labels_to_cells
 from yolopoint_tpu.parallel.mesh import DATA_AXIS
@@ -46,6 +46,7 @@ class LossWeights:
     lambda_obj: float = 10.0       # lambda_loss_obj
     joint_training: bool = True
     desc_loss_type: str = "sparse"  # "sparse" | "infonce"
+    det_loss_type: str = "bce"     # "bce" (reference parity) | "ce" (MagicPoint-style)
     num_samples_per_image: int = 1000
     num_masked_non_matches_per_match: int = 120
 
@@ -81,12 +82,13 @@ def losses_from_outputs(
     f32 = lambda x: x.astype(jnp.float32)
 
     # keypoint detector losses on both views
+    det_fn = detector_loss_ce if weights.det_loss_type == "ce" else detector_loss
     t_base = labels_to_cells(base.labels_2d)
     m_base = cell_valid_mask(base.valid_mask)
-    loss_det = detector_loss(f32(out["semi"]), t_base, m_base)
+    loss_det = det_fn(f32(out["semi"]), t_base, m_base)
     t_warp = labels_to_cells(warped.labels_2d)
     m_warp = cell_valid_mask(warped.valid_mask)
-    loss_det_warp = detector_loss(f32(out_w["semi"]), t_warp, m_warp)
+    loss_det_warp = det_fn(f32(out_w["semi"]), t_warp, m_warp)
 
     # object loss on the base view
     if "objects" in out and weights.lambda_obj > 0:
@@ -328,6 +330,16 @@ def make_train_step(
         grads = jax.lax.pmean(grads, DATA_AXIS)
         aux = jax.lax.pmean(aux, DATA_AXIS)
         new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        # non-finite-update guard: if any gradient / loss / BN-stat leaf is
+        # non-finite (one pathological batch), the WHOLE state update
+        # (params, opt state, BN stats, EMA) is reverted below — the
+        # TPU-native analog of the reference's torch.amp GradScaler step
+        # skip (`/root/reference/src/train.py` scaler.step; GradScaler skips
+        # the optimizer step on inf/nan grads). After pmean every replica
+        # sees the same values, so the decision is replica-consistent.
+        finite = jnp.isfinite(jax.lax.pmean(loss, DATA_AXIS))
+        for leaf in jax.tree_util.tree_leaves((grads, new_stats)):
+            finite &= jnp.all(jnp.isfinite(leaf))
         new_state = state.apply_gradients(grads=grads, new_batch_stats=new_stats)
         if state.ema_params is not None:  # static: EMA enabled at state creation
             from yolopoint_tpu.training.ema import ema_update
@@ -349,6 +361,11 @@ def make_train_step(
                     updated, new_state.ema_params,
                 )
             new_state = new_state.replace(ema_params=updated)
+        new_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new_state, state
+        )
+        aux = dict(aux)
+        aux["nonfinite_skip"] = 1.0 - finite.astype(jnp.float32)
         return new_state, aux
 
     state_spec = P()  # replicated
