@@ -113,3 +113,63 @@ def test_train_step_on_device_batches():
     batch = next(iter(dev))
     _, aux = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_device_scan_matches_host_stacked_scan():
+    """make_device_multi_step (gather inside the scan) must produce the SAME
+    state/aux as make_multi_step over the pre-gathered stacked batches —
+    both fold the dispatch rng by step index."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolopoint_tpu.data.device_data import DeviceDataLoader
+    from yolopoint_tpu.losses.objects import ObjectLossConfig
+    from yolopoint_tpu.models import build_model
+    from yolopoint_tpu.parallel.mesh import make_mesh, shard_batch
+    from yolopoint_tpu.training.state import create_train_state, make_optimizer
+    from yolopoint_tpu.training.step import (
+        LossWeights,
+        make_device_multi_step,
+        make_multi_step,
+        make_train_step,
+        rescale_yolo_gains,
+        stack_batches,
+    )
+
+    mesh = make_mesh()
+    nc = len(SHAPE_CLASS_NAMES)
+    model = build_model("YOLOPoint", "n", nc=nc)
+    tx = make_optimizer(learning_rate=1e-3, lrf=0.1, total_epochs=1, steps_per_epoch=4)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 64, 64, 3), tx=tx)
+    obj_cfg = rescale_yolo_gains(ObjectLossConfig(), nc=nc, img_size=64)
+    weights = LossWeights(num_samples_per_image=16, num_masked_non_matches_per_match=4)
+    aug = {"photometric": {"enable": False},
+           "homographic": {"enable": True, "params": {"patch_ratio": 0.85},
+                           "valid_border_margin": 2},
+           "warped_pair": {}}
+    step = make_train_step(model, mesh, aug, obj_cfg, weights, nc, donate=False)
+
+    K = 2
+    dev = DeviceDataLoader(_base(), mesh)
+    rows = dev.epoch_rows()[:K]
+    rng = jax.random.PRNGKey(7)
+
+    host_multi = make_multi_step(step, K)
+    batches = [dev.gather_row(r) for r in rows]
+    stacked = shard_batch(stack_batches(
+        [{k: np.asarray(v) for k, v in b.items()} for b in batches]
+    ), mesh, leading_stack=True)
+    s_host, aux_host = host_multi(state, stacked, rng)
+
+    # device-scan path donates its state argument -> run it LAST
+    step0 = int(state.step)
+    dev_multi = make_device_multi_step(step, K)
+    s_dev, aux_dev = dev_multi(state, dev.resident_data, jnp.asarray(rows), rng)
+
+    np.testing.assert_allclose(
+        np.asarray(aux_dev["loss"]), np.asarray(aux_host["loss"]), rtol=1e-5)
+    a = jax.tree_util.tree_leaves(s_dev.params)
+    b = jax.tree_util.tree_leaves(s_host.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+    assert int(s_dev.step) == step0 + K

@@ -168,6 +168,9 @@ class DeviceDataLoader:
             lambda data, idx: {k: v[idx] for k, v in data.items()},
             out_shardings=out_shard,
         )
+        # the scanned-dispatch path (training.step.make_device_multi_step)
+        # gathers batches inside the scan directly from these arrays
+        self.resident_data = self._data
         LOGGER.info(
             f"device-resident dataset: {len(base.datasets)} dataset(s), "
             f"{self._data['image'].shape[0]} samples, "
@@ -180,12 +183,19 @@ class DeviceDataLoader:
     def sample_batch(self) -> dict[str, np.ndarray]:
         return self.base.sample_batch()
 
-    def __iter__(self) -> Iterator[dict[str, Any]]:
+    def epoch_rows(self) -> np.ndarray:
+        """One epoch's batch index rows, shape (steps_per_epoch, B) int32 —
+        same schedule rng as iterating the wrapped host loader."""
+        idxs = self.base._epoch_indices()
+        return np.asarray(
+            idxs[: self.steps_per_epoch * self.batch_size], np.int32
+        ).reshape(-1, self.batch_size)
+
+    def gather_row(self, row: np.ndarray) -> dict[str, Any]:
         import jax.numpy as jnp
 
-        idxs = self.base._epoch_indices()
-        rows = idxs[: self.steps_per_epoch * self.batch_size].reshape(
-            -1, self.batch_size
-        )
-        for row in rows:
-            yield dict(self._gather(self._data, jnp.asarray(row, jnp.int32)))
+        return dict(self._gather(self._data, jnp.asarray(row, jnp.int32)))
+
+    def __iter__(self) -> Iterator[dict[str, Any]]:
+        for row in self.epoch_rows():
+            yield self.gather_row(row)

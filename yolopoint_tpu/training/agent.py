@@ -147,6 +147,7 @@ class TrainAgent:
         self.ema_enabled = bool(ema_cfg.get("enable", False))
         patience = tp.get("patience")
         self.stopper = EarlyStopping(int(patience)) if patience else None
+        self.val_interval = max(int(tp.get("val_interval", 1)), 1)
         # jax.profiler trace window (replaces the reference's thop/per-layer
         # timers, SURVEY.md §5): training_params.profile: {start_step, num_steps}
         self._profile = tp.get("profile") or None
@@ -220,7 +221,20 @@ class TrainAgent:
             remat=bool(tp.get("remat", False)),
             accum=accum,
         )
-        if self.steps_per_dispatch > 1:
+        # device-resident loader + K>1: gather batches INSIDE the scan —
+        # per-dispatch traffic is a (K, B) int32 index array (see
+        # make_device_multi_step); otherwise scan over host-stacked batches
+        self._device_rows = (
+            self.steps_per_dispatch > 1
+            and getattr(train_loader, "resident_data", None) is not None
+        )
+        if self._device_rows:
+            from yolopoint_tpu.training.step import make_device_multi_step
+
+            self.multi_step = make_device_multi_step(
+                self.train_step, self.steps_per_dispatch
+            )
+        elif self.steps_per_dispatch > 1:
             from yolopoint_tpu.training.step import make_multi_step
 
             self.multi_step = make_multi_step(self.train_step, self.steps_per_dispatch)
@@ -328,6 +342,8 @@ class TrainAgent:
         prof_start = int(self._profile.get("start_step", 10)) if self._profile else -1
         prof_stop = prof_start + int(self._profile.get("num_steps", 5)) if self._profile else -1
         def run_single(batch):
+            if self._device_rows:  # `batch` is a (B,) index row here
+                batch = self.train_loader.gather_row(batch)
             batch = shard_batch(batch, self.mesh)
             self.rng, k = jax.random.split(self.rng)
             self.state, aux = self.train_step(self.state, batch, k)
@@ -335,13 +351,21 @@ class TrainAgent:
             return aux
 
         def run_stacked(pending):
-            from yolopoint_tpu.training.step import stack_batches
+            import numpy as np
 
-            stacked = shard_batch(
-                stack_batches(pending), self.mesh, leading_stack=True
-            )
             self.rng, k = jax.random.split(self.rng)
-            self.state, aux_all = self.multi_step(self.state, stacked, k)
+            if self._device_rows:
+                idx = jnp.asarray(np.stack(pending), jnp.int32)  # (K, B)
+                self.state, aux_all = self.multi_step(
+                    self.state, self.train_loader.resident_data, idx, k
+                )
+            else:
+                from yolopoint_tpu.training.step import stack_batches
+
+                stacked = shard_batch(
+                    stack_batches(pending), self.mesh, leading_stack=True
+                )
+                self.state, aux_all = self.multi_step(self.state, stacked, k)
             self.global_step += len(pending)
             # all K steps' scalars, averaged (v[-1] would alias loss curves)
             return {k_: v.mean(axis=0) for k_, v in aux_all.items()}
@@ -353,16 +377,23 @@ class TrainAgent:
         stopped_early = False
         for epoch in range(self.start_epoch, self.epochs):
             pending: list = []
-            for batch in self.train_loader:
+            # device-rows mode iterates (B,) index rows, not gathered batches
+            epoch_iter = (
+                self.train_loader.epoch_rows() if self._device_rows
+                else self.train_loader
+            )
+            for batch in epoch_iter:
                 if prof_start >= 0 and self.global_step >= prof_start \
                         and not self._profile_started:
                     self._profile_started = True
                     jax.profiler.start_trace(str(self.output_dir / "profile"))
-                batch.pop("names", None)
+                if not self._device_rows:
+                    batch.pop("names", None)
                 if self.steps_per_dispatch > 1:
                     # only same-structure batches stack (mosaic batches carry
                     # extra keys): flush the buffer on a structure change
-                    if pending and set(batch) != set(pending[0]):
+                    if pending and not self._device_rows \
+                            and set(batch) != set(pending[0]):
                         for b in pending:
                             run_single(b)
                         pending = []
@@ -399,7 +430,13 @@ class TrainAgent:
                     )
             for b in pending:  # leftover under-full dispatch buffer
                 run_single(b)
-            val_scalars = self.validate(epoch) if self.val_loader is not None else {}
+            # training_params.val_interval: validate every Nth epoch (and the
+            # final one) — long synthetic-stage runs would otherwise spend
+            # more wall time in host-side validation than in training
+            do_val = self.val_loader is not None and (
+                (epoch + 1) % self.val_interval == 0 or epoch == self.epochs - 1
+            )
+            val_scalars = self.validate(epoch) if do_val else {}
             fitness = val_scalars.get("fitness", -1.0)
             best = fitness > self.best_fitness
             if best:
@@ -414,7 +451,7 @@ class TrainAgent:
                 },
                 fitness=fitness, best=best,
             )
-            if self.stopper is not None and self.stopper(epoch, fitness):
+            if do_val and self.stopper is not None and self.stopper(epoch, fitness):
                 LOGGER.info(
                     f"early stopping at epoch {epoch}: no fitness improvement "
                     f"in the last {self.stopper.patience} epochs"

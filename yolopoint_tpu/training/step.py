@@ -414,6 +414,41 @@ def make_multi_step(step_fn, scan_steps: int):
     return multi
 
 
+def make_device_multi_step(step_fn, scan_steps: int):
+    """Scan `scan_steps` optimizer steps in ONE dispatch, gathering each
+    step's batch INSIDE the scan from HBM-resident dataset arrays
+    (`data.device_data.DeviceDataLoader.resident_data`).
+
+    Per-dispatch host->device traffic is a `(K, B)` int32 index array — on a
+    tunneled TPU this collapses the per-step dispatch round-trip (measured
+    ~0.3 s/step wall vs ~40 ms device time on the v5e tunnel) into one
+    launch per K steps. The reference has no analog (torch DataLoader feeds
+    every step over PCIe); this is the TPU-idiomatic train-loop shape:
+    device-resident data + `lax.scan` over jitted steps.
+
+    Args:
+      step_fn: result of `make_train_step` (donate=False — the scan carries
+        state internally; the OUTER state argument is donated here).
+      scan_steps: K.
+
+    Returns:
+      jitted `(state, data, idx, rng) -> (state, aux)`; `idx` is `(K, B)`
+      int32 rows into the resident arrays, `aux` leaves are stacked `(K,)`.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(state, data, idx, rng):
+        def one(st, inp):
+            i, row = inp
+            batch = {k: v[row] for k, v in data.items()}
+            st, aux = step_fn(st, batch, jax.random.fold_in(rng, i))
+            return st, aux
+
+        return jax.lax.scan(one, state, (jnp.arange(scan_steps), idx))
+
+    return multi
+
+
 def stack_batches(batches) -> dict:
     """Stack a list of same-shape batch dicts along a new leading dim."""
     import numpy as np
