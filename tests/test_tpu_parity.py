@@ -236,6 +236,35 @@ def test_batched_nms_overflow_regime_on_hardware(rng):
         )
 
 
+# ---------------------------------------------------------------- MXU warp
+
+
+def test_mxu_warp_on_hardware(rng):
+    """Compiled Mosaic warp (training-shape batch) vs the exact XLA gather
+    warp: bilinear within the documented bf16 envelope, nearest exact."""
+    from yolopoint_tpu.ops.geometry import _warp_image_xla
+    from yolopoint_tpu.ops.homography import sample_homography_batch
+    from yolopoint_tpu.ops.pallas_warp import (
+        warp_fits_pallas, warp_image_pallas,
+    )
+
+    B, H, W, C = 8, 256, 320, 3
+    assert warp_fits_pallas((B, H, W, C))
+    img = jnp.asarray(rng.uniform(0, 1, (B, H, W, C)).astype(np.float32))
+    Hm = sample_homography_batch(jax.random.PRNGKey(7), B)
+    hom = jnp.asarray(np.linalg.inv(np.asarray(Hm)))
+
+    got = np.asarray(warp_image_pallas(img, hom, "bilinear"))
+    ref = np.asarray(_warp_image_xla(img, hom, "bilinear"))
+    assert np.abs(got - ref).max() < 8e-3
+    assert np.abs(got - ref).mean() < 1e-3
+
+    img_u8 = jnp.asarray(rng.integers(0, 256, (B, H, W, C)).astype(np.float32))
+    got_n = np.asarray(warp_image_pallas(img_u8, hom, "nearest"))
+    ref_n = np.asarray(_warp_image_xla(img_u8, hom, "nearest"))
+    np.testing.assert_array_equal(got_n, ref_n)
+
+
 # ---------------------------------------------------------------- MXU gather
 
 

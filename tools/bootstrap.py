@@ -89,8 +89,18 @@ def main(argv=None):
     pseudo_run = f"{args.run}_pseudo"
     pseudo_dir = ROOT / args.runs_dir / pseudo_run
     if args.fresh or not stage1_done(pseudo_dir):
+        # the pseudo config's generation.points_dir must point at THIS run's
+        # stage-2 export (the yaml ships with a default run name) — rewrite
+        # it into a snapshot config inside the run dir
+        import yaml
+
+        pseudo_cfg = yaml.safe_load(Path(args.pseudo_config).read_text())
+        pseudo_cfg.setdefault("data", {}).setdefault("generation", {})[
+            "points_dir"] = str(run_dir / "export")
+        cfg_snapshot = run_dir / "pseudo_config.yml"
+        cfg_snapshot.write_text(yaml.safe_dump(pseudo_cfg))
         sh([py, "-u", "-m", "yolopoint_tpu.training.cli",
-            "--config", args.pseudo_config, "--exper_name", pseudo_run,
+            "--config", str(cfg_snapshot), "--exper_name", pseudo_run,
             "--output_dir", args.runs_dir,
             "--pretrained", str(run_dir / "best")])
     else:

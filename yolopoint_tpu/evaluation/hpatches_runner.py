@@ -139,3 +139,84 @@ def evaluate_hpatches(
         **{f"correctness@{e}": float(np.mean(v)) for e, v in correct_at.items()},
         "num_pairs": n,
     }
+
+
+def main(argv=None):
+    """HPatches-protocol CLI (the reference's `evaluation_hpatches.py`
+    two-stage export+eval collapsed into one pass; same metrics:
+    repeatability@top-K, correctness@eps, matching score, match mAP).
+
+      python -m yolopoint_tpu.evaluation.hpatches_runner \
+          --data datasets/hpatches_synth --weights runs/<run>/best \
+          [--size 240 320] [--alteration all|i|v] [--export DIR] [--json OUT]
+    """
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description="HPatches protocol evaluation")
+    ap.add_argument("--data", required=True, help="HPatches-layout root dir")
+    ap.add_argument("--weights", default=None,
+                    help="torch .pth.tar or orbax run/checkpoint dir")
+    ap.add_argument("--model", default="YOLOPoint")
+    ap.add_argument("--version", default="n")
+    ap.add_argument("--size", type=int, nargs=2, default=[240, 320],
+                    help="eval resolution H W (reference uses 480 640)")
+    ap.add_argument("--alteration", default="all", choices=["all", "i", "v"])
+    ap.add_argument("--keep-k", type=int, default=300)
+    ap.add_argument("--kpt-conf", type=float, default=0.015)
+    ap.add_argument("--max-pairs", type=int, default=None)
+    ap.add_argument("--export", default=None, help="dump per-pair .npz here")
+    ap.add_argument("--json", default=None, help="write metrics JSON here")
+    ap.add_argument("--f32", action="store_true",
+                    help="disable the fused bf16 deploy path")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolopoint_tpu.data.datasets import HPatches
+    from yolopoint_tpu.frontend.pipeline import InferencePipeline
+    from yolopoint_tpu.models import build_model
+    from yolopoint_tpu.models.convert import fold_batch_norm, load_weights
+
+    model_name, version, nc = args.model, args.version, 80
+    if args.weights:
+        loaded = load_weights(args.weights)
+        variables = loaded["variables"]
+        meta = loaded["meta"]
+        model_name = meta.get("model_name", args.model)
+        version = meta.get("version", args.version)
+        nc = max(len(meta.get("names") or []), 1)
+    else:
+        variables = build_model(model_name, version, nc=nc).init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.size[0], args.size[1], 3)), train=False,
+        )
+    if args.f32:
+        model = build_model(model_name, version, nc=nc)
+        dtype = jnp.float32
+    else:
+        variables = fold_batch_norm(variables)
+        model = build_model(model_name, version, nc=nc,
+                            dtype=jnp.bfloat16, fused=True)
+        dtype = jnp.bfloat16
+    pipeline = InferencePipeline(
+        model, variables, {"detection_threshold": args.kpt_conf},
+        compute_dtype=dtype,
+    )
+    dataset = HPatches(args.data, size_hw=tuple(args.size),
+                       alteration=args.alteration)
+    metrics = evaluate_hpatches(
+        pipeline, dataset, keep_k_points=args.keep_k,
+        max_pairs=args.max_pairs, export_dir=args.export,
+    )
+    line = json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                       for k, v in metrics.items()})
+    print(line)
+    if args.json:
+        Path(args.json).write_text(line)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,47 @@ def _normalized_grid(height: int, width: int, dtype=jnp.float32) -> jax.Array:
     return jnp.stack([gx, gy], axis=-1)
 
 
+def _warp_image_xla(
+    img: jax.Array,
+    homography_inv: jax.Array,
+    mode: str = "bilinear",
+) -> jax.Array:
+    """Exact f32 gather-based warp (the reference implementation and the
+    CPU path)."""
+    B, H, W, _ = img.shape
+    Hm = jnp.broadcast_to(jnp.atleast_3d(homography_inv).reshape(-1, 3, 3), (B, 3, 3))
+    grid = _normalized_grid(H, W, img.dtype).reshape(-1, 2)  # (H*W, 2)
+    src = jax.vmap(lambda h: warp_points(grid, h))(Hm)  # (B, H*W, 2)
+    # normalized -> pixel coords, align_corners=True
+    sx = (src[..., 0] + 1.0) * 0.5 * (W - 1)
+    sy = (src[..., 1] + 1.0) * 0.5 * (H - 1)
+    coords = jnp.stack([sx, sy], axis=-1).reshape(B, H, W, 2)
+    return grid_sample(img, coords, mode=mode)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _warp_image_mxu(img, homography_inv, mode):
+    from yolopoint_tpu.ops.pallas_warp import warp_image_pallas
+
+    return warp_image_pallas(img, homography_inv, mode)
+
+
+def _warp_mxu_fwd(img, homography_inv, mode):
+    return _warp_image_mxu(img, homography_inv, mode), (img, homography_inv)
+
+
+def _warp_mxu_bwd(mode, res, g):
+    # warps are never on the gradient path in training (they act on batch
+    # inputs, not params) — route any exotic caller through the exact XLA
+    # warp's VJP rather than differentiating the Mosaic kernel
+    img, hom = res
+    _, vjp = jax.vjp(lambda i, h: _warp_image_xla(i, h, mode), img, hom)
+    return vjp(g)
+
+
+_warp_image_mxu.defvjp(_warp_mxu_fwd, _warp_mxu_bwd)
+
+
 def warp_image(
     img: jax.Array,
     homography_inv: jax.Array,
@@ -88,6 +129,11 @@ def warp_image(
     matching the reference `warp_image_batch`
     (`/root/reference/src/utils/utils.py:333-376`).
 
+    On TPU, VMEM-resident shapes dispatch to the Pallas MXU one-hot kernel
+    (`ops.pallas_warp`, ~15x the XLA gather on training shapes; bf16 taps,
+    <=0.4%-of-range quantization); set YP_DISABLE_PALLAS_WARP=1 to force the
+    exact f32 gather everywhere.
+
     Args:
       img: `(B, H, W, C)` image batch (NHWC).
       homography_inv: `(B, 3, 3)` or `(3, 3)` homographies in normalized coords
@@ -97,17 +143,18 @@ def warp_image(
     Returns:
       `(B, H, W, C)` warped images.
     """
+    import os
+
     if img.ndim == 3:
         img = img[None]
-    B, H, W, _ = img.shape
-    Hm = jnp.broadcast_to(jnp.atleast_3d(homography_inv).reshape(-1, 3, 3), (B, 3, 3))
-    grid = _normalized_grid(H, W, img.dtype).reshape(-1, 2)  # (H*W, 2)
-    src = jax.vmap(lambda h: warp_points(grid, h))(Hm)  # (B, H*W, 2)
-    # normalized -> pixel coords, align_corners=True
-    sx = (src[..., 0] + 1.0) * 0.5 * (W - 1)
-    sy = (src[..., 1] + 1.0) * 0.5 * (H - 1)
-    coords = jnp.stack([sx, sy], axis=-1).reshape(B, H, W, 2)
-    return grid_sample(img, coords, mode=mode)
+    if (mode in ("bilinear", "nearest")
+            and not os.environ.get("YP_DISABLE_PALLAS_WARP")
+            and jax.default_backend() == "tpu"):
+        from yolopoint_tpu.ops.pallas_warp import warp_fits_pallas
+
+        if warp_fits_pallas(img.shape, mode):
+            return _warp_image_mxu(img, homography_inv, mode)
+    return _warp_image_xla(img, homography_inv, mode)
 
 
 def binary_erosion(mask: jax.Array, kernel: np.ndarray) -> jax.Array:
@@ -184,9 +231,17 @@ def compute_valid_mask(
     Hm = jnp.atleast_3d(homography).reshape(-1, 3, 3)
     B = Hm.shape[0]
     top, bottom, left, right = pad
-    ones = jnp.zeros((B, Hh, Ww, 1), jnp.float32)
-    ones = ones.at[:, top:Hh - bottom, left:Ww - right, :].set(1.0)
-    mask = warp_image(ones, Hm, mode="nearest")[..., 0]
+    # the warped all-ones(-minus-pad) image is a rectangle indicator, so its
+    # nearest-warp is pure coordinate math: source pixel = H(output pixel),
+    # valid iff round(source) lands in the unpadded rect. Identical output
+    # to gather-warping a ones image, with no gather at all.
+    grid = _normalized_grid(Hh, Ww).reshape(-1, 2)
+    src = jax.vmap(lambda h: warp_points(grid, h))(Hm)  # (B, H*W, 2) normalized
+    sx = jnp.floor((src[..., 0] + 1.0) * 0.5 * (Ww - 1) + 0.5)
+    sy = jnp.floor((src[..., 1] + 1.0) * 0.5 * (Hh - 1) + 0.5)
+    inside = ((sx >= left) & (sx <= Ww - 1 - right)
+              & (sy >= top) & (sy <= Hh - 1 - bottom))
+    mask = inside.reshape(B, Hh, Ww).astype(jnp.float32)
     border = jnp.zeros((Hh, Ww), jnp.float32).at[1:-1, 1:-1].set(1.0)
     mask = mask * border
     if erosion_radius > 0:

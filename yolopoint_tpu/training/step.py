@@ -314,9 +314,17 @@ def make_train_step(
     if hasattr(model, "anchors") and model.anchors is not None:
         anchors_ps = Detect(nc=nc, anchors=model.anchors).anchors_per_stride()
 
+    # single-device mesh: the collectives are identities, and wrapping the
+    # step in shard_map costs ~8-40x inside a lax.scan dispatch (measured on
+    # v5e: 107 ms/step plain jit vs 4.1 s/step scan-of-shard_map) — compile
+    # the plain function and keep rng parity by folding in replica index 0
+    use_shard_map = mesh is not None and mesh.size > 1
+    pmean = (lambda t: jax.lax.pmean(t, DATA_AXIS)) if use_shard_map \
+        else (lambda t: t)
+
     def step(state, batch, rng):
         # per-replica rng: fold in the replica index so augmentation differs
-        idx = jax.lax.axis_index(DATA_AXIS)
+        idx = jax.lax.axis_index(DATA_AXIS) if use_shard_map else 0
         rng = jax.random.fold_in(rng, idx)
 
         def loss_fn(params):
@@ -327,9 +335,9 @@ def make_train_step(
             )
 
         (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        aux = jax.lax.pmean(aux, DATA_AXIS)
-        new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        grads = pmean(grads)
+        aux = pmean(aux)
+        new_stats = pmean(new_stats)
         # non-finite-update guard: if any gradient / loss / BN-stat leaf is
         # non-finite (one pathological batch), the WHOLE state update
         # (params, opt state, BN stats, EMA) is reverted below — the
@@ -337,7 +345,7 @@ def make_train_step(
         # skip (`/root/reference/src/train.py` scaler.step; GradScaler skips
         # the optimizer step on inf/nan grads). After pmean every replica
         # sees the same values, so the decision is replica-consistent.
-        finite = jnp.isfinite(jax.lax.pmean(loss, DATA_AXIS))
+        finite = jnp.isfinite(pmean(loss))
         for leaf in jax.tree_util.tree_leaves((grads, new_stats)):
             finite &= jnp.all(jnp.isfinite(leaf))
         new_state = state.apply_gradients(grads=grads, new_batch_stats=new_stats)
@@ -368,6 +376,8 @@ def make_train_step(
         aux["nonfinite_skip"] = 1.0 - finite.astype(jnp.float32)
         return new_state, aux
 
+    if not use_shard_map:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
     state_spec = P()  # replicated
     batch_spec = P(DATA_AXIS)
     sharded = shard_map(
