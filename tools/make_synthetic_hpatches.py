@@ -59,7 +59,27 @@ def make_scene(rng: np.random.Generator, H: int, W: int, viewpoint: bool,
     from yolopoint_tpu.data.synthetic import render_sample
     from yolopoint_tpu.ops.homography import sample_homography_np
 
-    big, _, _ = render_sample(rng, 2 * H, 2 * W, None, blur_prob=0.3)
+    # 2x canvas assembled as a 2x2 mosaic of NATIVE-scale renders: shape
+    # sizes in every (H, W) window match the training distribution (a single
+    # 2H x 2W render draws 2x-scale shapes, which a single-scale
+    # MagicPoint-style detector simply does not fire on). Each tile overlays
+    # several primitives so every view has HPatches-like keypoint density
+    # (~50-150 detections; the protocol never uses corner labels, so shape
+    # intersections creating extra corners is fine).
+    from yolopoint_tpu.data.synthetic import PRIMITIVES
+
+    draw_fns = dict(PRIMITIVES)
+    big = np.empty((2 * H, 2 * W), np.uint8)
+    for ty in (0, 1):
+        for tx in (0, 1):
+            tile, _, _ = render_sample(rng, H, W, None, blur_prob=0.0)
+            names = rng.choice([n for n, _ in PRIMITIVES], size=2, replace=False)
+            for name in names:
+                draw_fns[str(name)](rng, tile)
+            if rng.random() < 0.3:
+                import cv2 as _cv2
+                tile = _cv2.GaussianBlur(tile, (3, 3), 0)
+            big[ty * H:(ty + 1) * H, tx * W:(tx + 1) * W] = tile
     big3 = np.repeat(big[..., None], 3, axis=2)
     cy, cx = H // 2, W // 2
     img1 = big3[cy:cy + H, cx:cx + W].copy()

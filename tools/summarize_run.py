@@ -46,12 +46,21 @@ def summarize(run_dir: Path) -> dict | None:
         return {k: round(float(rec[f"validation/{k}"]), 4)
                 for k in KEEP if f"validation/{k}" in rec}
 
-    return {
+    out = {
         "best": pick(best),
         "best_step": int(best.get("step", -1)),
         "first_val": pick(first),
         "n_val_epochs": n_val,
     }
+    # HPatches-protocol numbers, if the runner was pointed here
+    # (python -m yolopoint_tpu.evaluation.hpatches_runner --json <run>/hpatches.json)
+    hp = run_dir / "hpatches.json"
+    if hp.exists():
+        try:
+            out["hpatches"] = json.loads(hp.read_text())
+        except json.JSONDecodeError:
+            pass
+    return out
 
 
 def main(argv=None):

@@ -159,8 +159,8 @@ def main(argv=None):
                     help="torch .pth.tar or orbax run/checkpoint dir")
     ap.add_argument("--model", default="YOLOPoint")
     ap.add_argument("--version", default="n")
-    ap.add_argument("--size", type=int, nargs=2, default=[240, 320],
-                    help="eval resolution H W (reference uses 480 640)")
+    ap.add_argument("--size", type=int, nargs=2, default=[256, 320],
+                    help="eval resolution H W, mod-32 (reference uses 480 640)")
     ap.add_argument("--alteration", default="all", choices=["all", "i", "v"])
     ap.add_argument("--keep-k", type=int, default=300)
     ap.add_argument("--kpt-conf", type=float, default=0.015)
@@ -170,6 +170,10 @@ def main(argv=None):
     ap.add_argument("--f32", action="store_true",
                     help="disable the fused bf16 deploy path")
     args = ap.parse_args(argv)
+    if args.size[0] % 32 or args.size[1] % 32:
+        ap.error(f"--size {args.size} must be divisible by 32 (stride-32 "
+                 "PANet level; the reference center-crops to mod-32, "
+                 "/root/reference/src/demo.py:112-121)")
 
     import jax
     import jax.numpy as jnp
