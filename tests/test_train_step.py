@@ -76,6 +76,36 @@ def test_train_step_8dev_mesh_runs_and_updates(rng):
     assert float(aux2["nonfinite_skip"]) == 0.0
 
 
+def test_single_device_fast_path_matches_shard_map(rng):
+    """On a 1-device mesh make_train_step compiles a PLAIN jitted step (the
+    shard_map wrapper costs 8-40x inside lax.scan dispatches on v5e); the
+    fast path must be bit-equivalent to the shard_map formulation on the
+    same mesh — identical rng folding (replica index 0), losses, and
+    updated params."""
+    import jax.sharding as shd
+
+    mesh1 = shd.Mesh(np.array(jax.devices()[:1]), ("data",))
+    nc = 3
+    model = build_model("YOLOPoint", "n", nc=nc)
+    tx = make_optimizer(learning_rate=1e-3, lrf=0.1, total_epochs=1, steps_per_epoch=4)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 64, 64, 3), tx=tx)
+    obj_cfg = rescale_yolo_gains(ObjectLossConfig(), nc=nc, img_size=64)
+    weights = LossWeights(num_samples_per_image=32, num_masked_non_matches_per_match=8)
+    fast = make_train_step(model, mesh1, AUG_CONFIG, obj_cfg, weights, nc, donate=False)
+    slow = make_train_step(model, mesh1, AUG_CONFIG, obj_cfg, weights, nc, donate=False,
+                           force_shard_map=True)
+
+    batch = _tiny_batch(rng, B=4)
+    key = jax.random.PRNGKey(1)
+    s_fast, aux_fast = fast(state, shard_batch(batch, mesh1), key)
+    s_slow, aux_slow = slow(state, shard_batch(batch, mesh1), key)
+    np.testing.assert_allclose(float(aux_fast["loss"]), float(aux_slow["loss"]), rtol=1e-6)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_fast.params, s_slow.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
 def test_train_step_skips_nonfinite_update(rng):
     """A batch that produces non-finite grads must leave the ENTIRE state
     (params, opt state, BN stats, step counter) untouched and report the

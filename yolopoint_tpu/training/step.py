@@ -300,6 +300,7 @@ def make_train_step(
     ema_tau: float = 2000.0,
     remat: bool = False,
     accum: int = 1,
+    force_shard_map: bool = False,
 ):
     """Build the jitted DP train step over `mesh`.
 
@@ -318,7 +319,7 @@ def make_train_step(
     # step in shard_map costs ~8-40x inside a lax.scan dispatch (measured on
     # v5e: 107 ms/step plain jit vs 4.1 s/step scan-of-shard_map) — compile
     # the plain function and keep rng parity by folding in replica index 0
-    use_shard_map = mesh is not None and mesh.size > 1
+    use_shard_map = mesh is not None and (mesh.size > 1 or force_shard_map)
     pmean = (lambda t: jax.lax.pmean(t, DATA_AXIS)) if use_shard_map \
         else (lambda t: t)
 
