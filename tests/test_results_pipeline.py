@@ -117,3 +117,42 @@ def test_bootstrap_stage_predicates(tmp_path):
     assert not bs.stage2_done(run, 2)
     (exp / "b.npz").write_bytes(b"x")
     assert bs.stage2_done(run, 2)
+
+
+def test_snapshot_artifacts_copies_run_evidence(tmp_path):
+    """tools/snapshot_artifacts.py must preserve every small run artifact
+    (curves, configs, best checkpoint, export stats) into the committed
+    artifacts/ tree — losing these between sessions cost the round-2
+    synth_r4 run its evidence."""
+    import numpy as np
+
+    sa = _load_tool("snapshot_artifacts")
+    runs = tmp_path / "runs"
+    run = runs / "synth_x"
+    run.mkdir(parents=True)
+    (run / "metrics.jsonl").write_text('{"step": 1}\n')
+    (run / "config.yml").write_text("model: {}\n")
+    (run / "best_meta.json").write_text('{"fitness": 0.5}')
+    (run / "hpatches.json").write_text('{"repeatability": 0.9}')
+    best = run / "best"
+    best.mkdir()
+    (best / "weights.bin").write_bytes(b"\x00" * 8)
+    exp = run / "export"
+    exp.mkdir()
+    for i, n in enumerate([3, 5]):
+        np.savez(exp / f"im{i}.npz", pts=np.zeros((n, 3)))
+
+    out = tmp_path / "artifacts"
+    copied = sa.snapshot(runs, out)
+    dst = out / "synth_x"
+    for name in ("metrics.jsonl", "config.yml", "best_meta.json",
+                 "hpatches.json"):
+        assert (dst / name).read_text() == (run / name).read_text()
+    assert (dst / "best" / "weights.bin").exists()
+    summ = json.loads((dst / "export_summary.json").read_text())
+    assert summ["n_files"] == 2
+    assert summ["pts_per_image_min"] == 3
+    assert summ["pts_per_image_max"] == 5
+    assert len(copied) == 6
+    # idempotent: second snapshot overwrites, never fails
+    sa.snapshot(runs, out)

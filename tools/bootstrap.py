@@ -106,8 +106,23 @@ def main(argv=None):
     else:
         print(f"[bootstrap] stage 3 done ({pseudo_dir}/best exists)", flush=True)
 
+    # ---- stage 3.5: HPatches-protocol eval of both trained models ----
+    # (rep@top-300 3px, correctness@eps, matching score, match mAP — the
+    # reference protocol, `/root/reference/src/evaluation_hpatches.py:395-758`)
+    hp_data = ROOT / "datasets" / "hpatches_synth"
+    if hp_data.is_dir():
+        for d in (run_dir, pseudo_dir):
+            out = d / "hpatches.json"
+            if (args.fresh or not out.exists()) and (d / "best").is_dir():
+                sh([py, "-u", "-m", "yolopoint_tpu.evaluation.hpatches_runner",
+                    "--data", str(hp_data), "--weights", str(d / "best"),
+                    "--json", str(out)])
+    else:
+        print(f"[bootstrap] no {hp_data}, skipping HPatches eval", flush=True)
+
     # ---- stage 4: summarize into RESULTS.json (bench hook) ----
     sh([py, "tools/summarize_run.py", "--runs", args.runs_dir])
+    sh([py, "tools/snapshot_artifacts.py", "--runs", args.runs_dir])
 
 
 if __name__ == "__main__":

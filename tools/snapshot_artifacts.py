@@ -33,7 +33,7 @@ import numpy as np
 ROOT = Path(__file__).resolve().parent.parent
 
 SMALL_FILES = ("metrics.jsonl", "config.yml", "done.json", "best_meta.json",
-               "pseudo_config.yml")
+               "pseudo_config.yml", "hpatches.json")
 
 
 def export_summary(exp_dir: Path) -> dict:
