@@ -475,3 +475,17 @@ def test_agent_plumbs_desc_loss_type(tmp_path):
     }
     agent = TA(cfg_ref_schema, tmp_path, loader())
     assert agent.weights.num_samples_per_image == 24
+
+
+def test_checkpoint_save_cadence():
+    """training_params.save_interval thins rolling saves (each one is a full
+    device->host state transfer); best and final epochs always save."""
+    from yolopoint_tpu.training.agent import should_save_checkpoint
+
+    # default interval 1 == reference behavior: save every epoch
+    assert all(should_save_checkpoint(e, 10, False, 1) for e in range(10))
+    # interval 4: epochs 3, 7 (1-based 4th/8th) and the final epoch
+    saves = [e for e in range(10) if should_save_checkpoint(e, 10, False, 4)]
+    assert saves == [3, 7, 9]
+    # a new best fitness always saves regardless of cadence
+    assert should_save_checkpoint(0, 10, True, 4)

@@ -51,6 +51,16 @@ from yolopoint_tpu.utils.config import get as cfg_get
 from yolopoint_tpu.utils.logging import LOGGER, MetricsWriter, StepTimer
 
 
+def should_save_checkpoint(epoch: int, epochs: int, best: bool,
+                           save_interval: int) -> bool:
+    """Rolling-checkpoint cadence (training_params.save_interval): best and
+    final epochs always save; otherwise every `save_interval`-th epoch. The
+    reference saves every epoch (`/root/reference/src/train.py:277-296`,
+    the default here); on the tunneled v5e one orbax save is a ~35 s full
+    device->host state transfer, so long small-epoch runs thin it out."""
+    return best or epoch == epochs - 1 or (epoch + 1) % save_interval == 0
+
+
 class TrainAgent:
     """Drives training from a reference-schema YAML config dict."""
 
@@ -148,6 +158,11 @@ class TrainAgent:
         patience = tp.get("patience")
         self.stopper = EarlyStopping(int(patience)) if patience else None
         self.val_interval = max(int(tp.get("val_interval", 1)), 1)
+        # rolling-checkpoint cadence: the per-epoch orbax save is a full
+        # device->host state transfer + blocking serialize (~35 s over the
+        # tunneled v5e — comparable to a whole 250-step synthetic epoch), so
+        # long runs can thin it out; best/final/interrupt saves always happen
+        self.save_interval = max(int(tp.get("save_interval", 1)), 1)
         # jax.profiler trace window (replaces the reference's thop/per-layer
         # timers, SURVEY.md §5): training_params.profile: {start_step, num_steps}
         self._profile = tp.get("profile") or None
@@ -441,16 +456,18 @@ class TrainAgent:
             best = fitness > self.best_fitness
             if best:
                 self.best_fitness = fitness
-            self.ckpt.save(
-                epoch, self.state,
-                metadata={
-                    "epoch": epoch, "global_step": self.global_step,
-                    "best_fitness": self.best_fitness, "names": self.names,
-                    "version": self.version, "model_name": self.model_name,
-                    "config": self.config,
-                },
-                fitness=fitness, best=best,
-            )
+            if should_save_checkpoint(epoch, self.epochs, best,
+                                      self.save_interval):
+                self.ckpt.save(
+                    epoch, self.state,
+                    metadata={
+                        "epoch": epoch, "global_step": self.global_step,
+                        "best_fitness": self.best_fitness, "names": self.names,
+                        "version": self.version, "model_name": self.model_name,
+                        "config": self.config,
+                    },
+                    fitness=fitness, best=best,
+                )
             if do_val and self.stopper is not None and self.stopper(epoch, fitness):
                 LOGGER.info(
                     f"early stopping at epoch {epoch}: no fitness improvement "
