@@ -9,8 +9,10 @@ tool copies the small-but-irreplaceable pieces of every run under
   - config.yml           (exact config snapshot the run used)
   - done.json            (final fitness / epoch bookkeeping)
   - best_meta.json       (fitness/epoch of the served best checkpoint)
-  - best/                (orbax best checkpoint — a few MB for YOLOPoint-n;
-                          lets later rounds evaluate without retraining)
+  - best/                (orbax best checkpoint, SLIMMED to weights only —
+                          params / ema_params / batch_stats, no opt_state —
+                          lets later rounds evaluate without retraining;
+                          `load_run_variables` reads it directly)
   - pseudo_config.yml    (stage-3 snapshot written by tools/bootstrap.py)
   - export_summary.json  (count + point statistics of stage-2 .npz labels,
                           not the labels themselves)
@@ -53,6 +55,27 @@ def export_summary(exp_dir: Path) -> dict:
     }
 
 
+def snapshot_best(best: Path, dst_best: Path) -> None:
+    """Weights-only mirror of an orbax `best/` checkpoint.
+
+    The source best holds the full training payload (opt_state is ~3x the
+    weights); the tracked snapshot keeps only what evaluation needs —
+    params / ema_params / batch_stats / step — and REPLACES the destination
+    (ocdbt blobs are content-hash-named, so copytree-over would accumulate
+    orphans from superseded bests).
+    """
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    payload = ckpt.restore(best)
+    slim = {k: payload[k] for k in ("params", "ema_params", "batch_stats", "step")
+            if payload.get(k) is not None}
+    if dst_best.exists():
+        shutil.rmtree(dst_best)
+    ckpt.save(dst_best, slim)
+    ckpt.wait_until_finished()
+
+
 def snapshot(runs_dir: Path, out_dir: Path) -> list[str]:
     copied = []
     for run in sorted(p for p in runs_dir.iterdir() if p.is_dir()):
@@ -64,14 +87,16 @@ def snapshot(runs_dir: Path, out_dir: Path) -> list[str]:
                 shutil.copy2(src, dst / name)
                 copied.append(str(dst / name))
         best = run / "best"
-        if best.is_dir():
-            shutil.copytree(best, dst / "best", dirs_exist_ok=True)
+        if best.is_dir() and (best / "_CHECKPOINT_METADATA").exists():
+            snapshot_best(best, dst / "best")
             copied.append(str(dst / "best"))
         exp = run / "export"
         if exp.is_dir():
-            (dst / "export_summary.json").write_text(
-                json.dumps(export_summary(exp), indent=1))
-            copied.append(str(dst / "export_summary.json"))
+            summary = export_summary(exp)
+            if summary["n_files"] > 0:  # never overwrite evidence with an
+                (dst / "export_summary.json").write_text(  # empty stub
+                    json.dumps(summary, indent=1))
+                copied.append(str(dst / "export_summary.json"))
     return copied
 
 

@@ -16,4 +16,4 @@ the native TPU layout; the torch reference is NCHW (see converter in
 `yolopoint_tpu.models.convert`).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

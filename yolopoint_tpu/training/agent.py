@@ -456,8 +456,13 @@ class TrainAgent:
             best = fitness > self.best_fitness
             if best:
                 self.best_fitness = fitness
-            if should_save_checkpoint(epoch, self.epochs, best,
-                                      self.save_interval):
+            stop = do_val and self.stopper is not None and self.stopper(epoch, fitness)
+            # with misaligned save/val cadences an early stop can land on a
+            # non-save epoch; always save the stop-epoch state so the newest
+            # rolling checkpoint matches where training actually ended
+            # (reference saves on interrupt/stop, `src/train.py:299-305`)
+            if stop or should_save_checkpoint(epoch, self.epochs, best,
+                                              self.save_interval):
                 self.ckpt.save(
                     epoch, self.state,
                     metadata={
@@ -468,7 +473,7 @@ class TrainAgent:
                     },
                     fitness=fitness, best=best,
                 )
-            if do_val and self.stopper is not None and self.stopper(epoch, fitness):
+            if stop:
                 LOGGER.info(
                     f"early stopping at epoch {epoch}: no fitness improvement "
                     f"in the last {self.stopper.patience} epochs"
