@@ -148,3 +148,44 @@ def test_warp_label_map_matches_reference_warplabels(rng):
     canvas[np.clip(wk[:, 1], 0, Himg - 1), np.clip(wk[:, 0], 0, Wimg - 1)] = 1.0
     np.testing.assert_array_equal(labels, canvas)
     assert np.asarray(valid).sum() == keep.sum()
+
+
+@pytest.mark.parametrize("margin", [0, 3])
+def test_warped_pair_valid_mask_matches_gather_warp(rng, margin):
+    """Closed-form pair mask == nearest-gather warp of the eroded base mask
+    (the train step's aug path replaces the warp with coordinate math)."""
+    from yolopoint_tpu.ops.homography import sample_homography_batch
+    import jax
+
+    B, Himg, Wimg = 3, 96, 128
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    h1 = sample_homography_batch(k1, B, patch_ratio=0.85, perspective=True,
+                                 scaling=True, rotation=True, translation=True)
+    h2 = sample_homography_batch(k2, B, patch_ratio=0.85, perspective=True,
+                                 scaling=True, rotation=True, translation=True)
+
+    base = geometry.compute_valid_mask((Himg, Wimg), h1, margin)
+    ref = geometry.warp_image(base[..., None], h2, mode="nearest")[..., 0]
+    got = geometry.warped_pair_valid_mask((Himg, Wimg), h1, h2, margin)
+
+    # round-half float ties can flip isolated boundary pixels; demand
+    # equality up to a vanishing fraction
+    mismatch = float(np.abs(np.asarray(ref) - np.asarray(got)).mean())
+    assert mismatch < 1e-3, mismatch
+
+
+def test_warped_pair_valid_mask_identity_base():
+    """h1 = identity, margin 0: the pair mask is the warped 1-px-interior
+    mask (the `_identity_view` base case)."""
+    import jax
+
+    B, Himg, Wimg = 2, 64, 80
+    from yolopoint_tpu.ops.homography import sample_homography_batch
+
+    h1 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+    h2 = sample_homography_batch(jax.random.PRNGKey(3), B, patch_ratio=0.9)
+    base = jnp.zeros((B, Himg, Wimg), jnp.float32).at[:, 1:-1, 1:-1].set(1.0)
+    ref = geometry.warp_image(base[..., None], h2, mode="nearest")[..., 0]
+    got = geometry.warped_pair_valid_mask((Himg, Wimg), h1, h2, 0)
+    mismatch = float(np.abs(np.asarray(ref) - np.asarray(got)).mean())
+    assert mismatch < 1e-3, mismatch

@@ -39,6 +39,7 @@ from yolopoint_tpu.ops.geometry import (
     points_to_label_map,
     warp_image,
     warp_points,
+    warped_pair_valid_mask,
 )
 from yolopoint_tpu.ops.homography import sample_homography_batch
 
@@ -461,7 +462,17 @@ def build_training_views(
     )
     # the pair's valid mask is the BASE mask warped by H2 (reference
     # `_get_warped_pair:417-424`), and the stored homography is H2
-    pair_mask = warp_image(base.valid_mask[..., None], h2, mode="nearest")[..., 0]
+    if crop_yx is None and valid_src is None:
+        # the base mask is analytic (preimage of a rectangle + border +
+        # erosion), so its h2-warp is closed-form coordinate math — replaces
+        # a ~36 ms nearest-gather per (16,640,640) batch in the train step
+        base_margin = margin if hom_enabled else 0
+        pair_mask = warped_pair_valid_mask(
+            base.valid_mask.shape[1:3], h1, h2, erosion_radius=base_margin,
+        )
+    else:
+        pair_mask = warp_image(
+            base.valid_mask[..., None], h2, mode="nearest")[..., 0]
     warped = warped._replace(
         valid_mask=pair_mask,
         homography=h2,

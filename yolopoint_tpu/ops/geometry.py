@@ -249,6 +249,83 @@ def compute_valid_mask(
     return mask
 
 
+def warped_pair_valid_mask(
+    image_shape: tuple[int, int],
+    h_base: jax.Array,
+    h_pair: jax.Array,
+    erosion_radius: int = 0,
+    pad: tuple[int, int, int, int] = (0, 0, 0, 0),
+) -> jax.Array:
+    """Closed-form `warp_image(compute_valid_mask(h_base, ...), h_pair,
+    mode="nearest")` — the warped pair's valid mask without any gather.
+
+    The pair view's mask is the BASE view's mask nearest-warped by the pair
+    homography (reference `_get_warped_pair`,
+    `/root/reference/src/datasets/DataClasses.py:417-424`). The base mask is
+    the preimage of a rectangle (plus 1-px border zeroing and optional
+    ellipse erosion), so every sampled value is decidable from coordinates
+    alone:
+
+      pair(q) = [p0 in frame] * AND_k base(p0 + k),   p0 = round(H2(q))
+
+    where k ranges over the erosion support (cv2 ones-border: offsets
+    landing outside the frame count as valid) and
+    `base(p) = [round(H1(p)) in unpadded rect] * [p in 1-px interior]`.
+
+    Replaces a ~36 ms nearest-gather warp per (16, 640, 640) batch on v5e
+    with ~2 ms of fused VPU arithmetic inside the train step. Exact up to
+    float-associativity at round-half ties (measure-zero for sampled
+    homographies).
+    """
+    Hh, Ww = image_shape
+    Hb = jnp.atleast_3d(h_base).reshape(-1, 3, 3)
+    Hp = jnp.atleast_3d(h_pair).reshape(-1, 3, 3)
+    B = max(Hb.shape[0], Hp.shape[0])
+    Hb = jnp.broadcast_to(Hb, (B, 3, 3))
+    Hp = jnp.broadcast_to(Hp, (B, 3, 3))
+    top, bottom, left, right = pad
+
+    grid = _normalized_grid(Hh, Ww).reshape(-1, 2)
+    s2 = jax.vmap(lambda h: warp_points(grid, h))(Hp)  # (B, H*W, 2) normalized
+    px = jnp.floor((s2[..., 0] + 1.0) * 0.5 * (Ww - 1) + 0.5)
+    py = jnp.floor((s2[..., 1] + 1.0) * 0.5 * (Hh - 1) + 0.5)
+    in_frame = (px >= 0) & (px <= Ww - 1) & (py >= 0) & (py <= Hh - 1)
+
+    if erosion_radius > 0:
+        k = ellipse_kernel(erosion_radius)
+        kh, kw = k.shape
+        offsets = [  # (dx, dy); conv offset = (row + i - kh//2, col + j - kw//2)
+            (float(j - kw // 2), float(i - kh // 2))
+            for i in range(kh)
+            for j in range(kw)
+            if k[i, j]
+        ]
+    else:
+        offsets = [(0.0, 0.0)]
+
+    sx_n = 2.0 / max(Ww - 1, 1)
+    sy_n = 2.0 / max(Hh - 1, 1)
+
+    def base_at(qx, qy):
+        """Base mask value at integer pixel coords (B, N); outside -> 1
+        (erosion's ones padding)."""
+        pts = jnp.stack([qx * sx_n - 1.0, qy * sy_n - 1.0], axis=-1)
+        s1 = jax.vmap(warp_points)(pts, Hb)
+        gx = jnp.floor((s1[..., 0] + 1.0) * 0.5 * (Ww - 1) + 0.5)
+        gy = jnp.floor((s1[..., 1] + 1.0) * 0.5 * (Hh - 1) + 0.5)
+        inside1 = ((gx >= left) & (gx <= Ww - 1 - right)
+                   & (gy >= top) & (gy <= Hh - 1 - bottom))
+        border = (qx >= 1) & (qx <= Ww - 2) & (qy >= 1) & (qy <= Hh - 2)
+        off_frame = (qx < 0) | (qx > Ww - 1) | (qy < 0) | (qy > Hh - 1)
+        return (inside1 & border) | off_frame
+
+    acc = None
+    for dx, dy in offsets:
+        v = base_at(px + dx, py + dy)
+        acc = v if acc is None else (acc & v)
+    return (in_frame & acc).astype(jnp.float32).reshape(B, Hh, Ww)
+
+
 def filter_points_mask(points: jax.Array, shape_wh) -> jax.Array:
     """Boolean mask of points inside `[0, W-1] x [0, H-1]`.
 
