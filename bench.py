@@ -168,11 +168,20 @@ def bench_kitti_n(batch: int = 64, iters: int = 10, warmup: int = 3) -> float:
     return batch * iters / (time.perf_counter() - t0)
 
 
-def bench_train_step(batch: int = 16, iters: int = 8, warmup: int = 2):
-    """Training-step throughput: full jitted joint train step (augmented
-    views on device, detector + descriptor + object losses, grads, optimizer,
-    EMA) for YOLOPoint-S 640px, device-resident batch. Returns
-    (img_s, train_mfu)."""
+def bench_train_step(batch: int = 16, iters: int = 8, warmup: int = 2,
+                     host_warp: bool = True):
+    """Training-step throughput: full jitted joint train step (detector +
+    descriptor + object losses, grads, optimizer, EMA) for YOLOPoint-S
+    640px, device-resident batch. Returns (img_s, train_mfu, host_warp_ms).
+
+    `host_warp=True` measures the DEFAULT training data path
+    (`data.augmentation.host_warp`): base/pair homographic warps run on
+    loader workers (native C++ `native/preprocess.cc`), the jitted step
+    consumes the precomputed u8 views. The timed loop is the device-bound
+    rate — in training the host warps overlap device compute on the loader
+    workers; their standalone cost is returned as `host_warp_ms` per batch.
+    `host_warp=False` times the fully-on-device-aug single program (warp
+    gathers lower poorly on TPU — kept as the non-default diagnostic)."""
     import jax
     import jax.numpy as jnp
 
@@ -213,15 +222,30 @@ def bench_train_step(batch: int = 16, iters: int = 8, warmup: int = 2):
         ).astype(np.float32),
         "box_mask": np.ones((batch, 30), bool),
     }
+    host_warp_ms = 0.0
+    if host_warp:
+        from yolopoint_tpu.data.host_augment import host_warp_views
+
+        hw_rng = np.random.default_rng(7)
+        batch_np = host_warp_views(batch_np, aug, hw_rng)
+        t0 = time.perf_counter()
+        host_warp_views({k: v for k, v in batch_np.items()
+                         if not k.startswith("precomputed_")}, aug, hw_rng)
+        host_warp_ms = (time.perf_counter() - t0) * 1e3
     sb = shard_batch(batch_np, mesh)
     key = jax.random.PRNGKey(5)
-    for _ in range(warmup):
+    # sync with device_get, NOT block_until_ready: on the tunneled backend
+    # block_until_ready can return before the train step actually executed
+    # (measured: an 8-step loop "finished" in 29 ms while real steps are
+    # ~100 ms), which silently turns the timing into dispatch-only. Fetching
+    # the loss value is a true execution barrier (and catches NaNs).
+    for _ in range(max(warmup, 3)):
         state, aux = step(state, sb, key)
-    jax.block_until_ready(aux["loss"])
+        float(jax.device_get(aux["loss"]))
     t0 = time.perf_counter()
     for _ in range(iters):
         state, aux = step(state, sb, key)
-    jax.block_until_ready(aux["loss"])
+    float(jax.device_get(aux["loss"]))  # chained through state: syncs all
     img_s = batch * iters / (time.perf_counter() - t0)
     flops = 0.0
     try:
@@ -229,7 +253,7 @@ def bench_train_step(batch: int = 16, iters: int = 8, warmup: int = 2):
     except Exception:
         pass
     mfu = flops / batch * img_s / (PEAK_TFLOPS_BF16 * 1e12) if flops else 0.0
-    return img_s, round(mfu, 4)
+    return img_s, round(mfu, 4), round(host_warp_ms, 1)
 
 
 def _median_program_ms(fn, args, chunks: int = 6, per_chunk: int = 10) -> float:
@@ -343,7 +367,7 @@ if __name__ == "__main__":
     batch1_ms = bench_batch1_latency()
     value, stats = bench_throughput()
     kitti_n = bench_kitti_n()
-    train_img_s, train_mfu = bench_train_step()
+    train_img_s, train_mfu, host_warp_ms = bench_train_step()
     print(json.dumps({
         "metric": "yolopoint_s_640_inference",
         "value": round(value, 2),
@@ -357,5 +381,6 @@ if __name__ == "__main__":
         "kitti_n_img_s": round(kitti_n, 2),
         "train_img_s": round(train_img_s, 2),
         "train_mfu": train_mfu,
+        "train_host_warp_ms": host_warp_ms,
         **_trained_metrics(),
     }))

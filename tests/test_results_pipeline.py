@@ -134,9 +134,19 @@ def test_snapshot_artifacts_copies_run_evidence(tmp_path):
     (run / "config.yml").write_text("model: {}\n")
     (run / "best_meta.json").write_text('{"fitness": 0.5}')
     (run / "hpatches.json").write_text('{"repeatability": 0.9}')
-    best = run / "best"
-    best.mkdir()
-    (best / "weights.bin").write_bytes(b"\x00" * 8)
+    # a REAL (tiny) orbax checkpoint with the full training payload — the
+    # tool restores it and re-saves a weights-only slim mirror
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(run / "best", {
+        "params": {"w": np.zeros((2, 2), np.float32)},
+        "ema_params": {"w": np.ones((2, 2), np.float32)},
+        "batch_stats": {"m": np.zeros((2,), np.float32)},
+        "opt_state": {"mu": np.zeros((2, 2), np.float32)},
+        "step": np.int64(7),
+    })
+    ckpt.wait_until_finished()
     exp = run / "export"
     exp.mkdir()
     for i, n in enumerate([3, 5]):
@@ -148,7 +158,10 @@ def test_snapshot_artifacts_copies_run_evidence(tmp_path):
     for name in ("metrics.jsonl", "config.yml", "best_meta.json",
                  "hpatches.json"):
         assert (dst / name).read_text() == (run / name).read_text()
-    assert (dst / "best" / "weights.bin").exists()
+    # slim mirror restores weights but drops the optimizer payload
+    slim = ocp.StandardCheckpointer().restore(dst / "best")
+    assert set(slim) == {"params", "ema_params", "batch_stats", "step"}
+    assert float(np.asarray(slim["ema_params"]["w"]).sum()) == 4.0
     summ = json.loads((dst / "export_summary.json").read_text())
     assert summ["n_files"] == 2
     assert summ["pts_per_image_min"] == 3

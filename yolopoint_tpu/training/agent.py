@@ -503,7 +503,7 @@ class TrainAgent:
         iouv = np.linspace(0.5, 0.95, 10)
         stats = []
         precs, recs = [], []
-        reps, homos, matching = [], [], []
+        reps, homos, matching, corner_dists = [], [], [], []
         loss_sums: dict[str, float] = {}
         n_batches = 0
         n_extended = 0
@@ -574,6 +574,8 @@ class TrainAgent:
                     )
                     homos.append(hc["correctness"])
                     matching.append(hc["matching_score"])
+                    if hc["mean_dist"] is not None:
+                        corner_dists.append(hc["mean_dist"])
                     n_extended += 1
 
                     # annotated image panels (reference TB images,
@@ -623,6 +625,9 @@ class TrainAgent:
             "repeatability": rep,
             "homography_correctness": homo,
             "matching_score": float(np.mean(matching)) if matching else 0.0,
+            # median 4-corner error of the estimated H (diagnostic for the
+            # binary correctness gate: shows HOW far off estimates are)
+            "homography_corner_dist": float(np.median(corner_dists)) if corner_dists else -1.0,
             "mAP50": map50, "mAP": map_, "box_p": mp, "box_r": mr,
             "fitness": fit,
         }
