@@ -46,3 +46,32 @@ def test_pallas_kernel_matches_xla(rng, hw):
     nz = ref_max > 0
     np.testing.assert_array_equal(targ[nz], ref_arg[nz])
     assert nz.sum() > 50  # the scene actually had survivors
+
+
+@pytest.mark.parametrize("hw", [(128, 128), (256, 192), (640, 640)])
+def test_fused_keys_kernel_matches_xla(rng, hw):
+    """The in-kernel tile-key reduction (`nms_tile_keys`) must equal packing
+    + pooling the XLA-suppressed map with `_tile_keys` exactly."""
+    from yolopoint_tpu.ops.pallas_nms import _tile_keys, nms_tile_keys
+
+    H, W = hw
+    B, conf, r, iters, border, t = 2, 0.05, 4, 3, 4, 4
+    hm = rng.uniform(0, 0.01, (B, H, W)).astype(np.float32)
+    for b in range(B):
+        n = 150
+        ys = rng.integers(0, H, n)
+        xs = rng.integers(0, W, n)
+        hm[b, ys, xs] = rng.uniform(0.1, 1.0, n)
+
+    x = jnp.where(jnp.asarray(hm) >= conf, jnp.asarray(hm), 0.0)
+    nmsed = simple_nms(x, r, iters)
+    xs_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ys_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ok = ((xs_i >= border) & (xs_i < W - border)
+          & (ys_i >= border) & (ys_i < H - border))
+    ref = np.asarray(_tile_keys(jnp.where(ok[None], nmsed, 0.0), t))
+
+    got = np.asarray(nms_tile_keys(jnp.asarray(hm), conf, r, iters, border, t,
+                                   interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    assert (ref > 0).sum() > 50

@@ -33,47 +33,53 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -jnp.inf
 
 
-def _shift_rows(x: jax.Array, d: int) -> jax.Array:
-    """Shift rows by d (positive = contents move down), -inf fill."""
+def _shift_rows(x: jax.Array, d: int, fill=NEG) -> jax.Array:
+    """Shift rows by d (positive = contents move down), `fill` fill."""
     R, W = x.shape
-    pad = jnp.full((abs(d), W), NEG, x.dtype)
+    pad = jnp.full((abs(d), W), fill, x.dtype)
     if d > 0:
         return jnp.concatenate([pad, x[:-d]], axis=0)
     return jnp.concatenate([x[-d:], pad], axis=0)
 
 
-def _shift_cols(x: jax.Array, d: int) -> jax.Array:
+def _shift_cols(x: jax.Array, d: int, fill=NEG) -> jax.Array:
     R, W = x.shape
-    pad = jnp.full((R, abs(d)), NEG, x.dtype)
+    pad = jnp.full((R, abs(d)), fill, x.dtype)
     if d > 0:
         return jnp.concatenate([pad, x[:, :-d]], axis=1)
     return jnp.concatenate([x[:, -d:], pad], axis=1)
 
 
-def _run_max(x: jax.Array, n: int, shift) -> jax.Array:
-    """Forward run max F[i] = max(x[i..i+n-1]) in O(log n) shifted maxes:
-    overlapping power-of-2 runs are exact for max."""
+def _run_max(x: jax.Array, n: int, shift, sgn: int = -1) -> jax.Array:
+    """Run max in O(log n) shifted maxes (overlapping power-of-2 runs are
+    exact for max). `sgn=-1`: forward, F[i] = max(x[i..i+n-1]); `sgn=+1`:
+    backward, B[i] = max(x[i-n+1..i]). Out-of-range entries read as the
+    shift fill (-inf), i.e. runs clip exactly at the array edges."""
     k = 1
     F = x
     while k * 2 <= n:
-        F = jnp.maximum(F, shift(F, -k))
+        F = jnp.maximum(F, shift(F, sgn * k))
         k *= 2
     if k < n:
-        F = jnp.maximum(F, shift(F, -(n - k)))
+        F = jnp.maximum(F, shift(F, sgn * (n - k)))
     return F
 
 
 def _window_max(x: jax.Array, radius: int) -> jax.Array:
-    """Separable (2r+1)^2 window max with -inf edges (matches reduce_window),
-    log-shift formulation (~2x fewer VPU ops than naive shifts). Explicit
-    -inf guard bands keep clipped edge windows exact — recentring a forward
-    run alone would drop the first `radius` rows/cols."""
-    n = 2 * radius + 1
-    R, W = x.shape
-    gc = jnp.full((R, radius), NEG, x.dtype)
-    m = _run_max(jnp.concatenate([gc, x, gc], axis=1), n, _shift_cols)[:, :W]
-    gr = jnp.full((radius, W), NEG, x.dtype)
-    return _run_max(jnp.concatenate([gr, m, gr], axis=0), n, _shift_rows)[:R, :]
+    """Separable (2r+1)^2 window max with -inf edges (matches reduce_window).
+
+    Per axis: max over [i-r, i+r] = max(B[i], F[i]) with F[i]=max(x[i..i+r])
+    (forward run, length r+1) and B[i]=max(x[i-r..i]) (backward run) — both
+    clip exactly at edges through the -inf shift fill, so NO guard-band
+    concatenation is needed. The previous concat formulation repadded the
+    640-lane rows to 768 lanes and copied the whole block twice per call;
+    this one never changes the block's layout."""
+    n = radius + 1
+
+    def axis(v, shift):
+        return jnp.maximum(_run_max(v, n, shift, -1), _run_max(v, n, shift, +1))
+
+    return axis(axis(x, _shift_cols), _shift_rows)
 
 
 def _nms_body(s: jax.Array, radius: int, iterations: int) -> jax.Array:
@@ -150,6 +156,142 @@ def _kernel(hbm_ref, out_ref, scratch, sems,
     out_ref[0] = scratch[slot, pl.ds(off, BR), :]
 
 
+def _tile_reduce_in_kernel(key: jax.Array, t: int) -> jax.Array:
+    """(BR, W) int32 keys -> (BR/t, W/t) per-tile max, inside the kernel.
+
+    Mosaic lowers sublane-splitting reshapes and 2D transposes (strided
+    slices and lane-splitting reshapes do NOT lower), so both axes reduce
+    as reshape-split max over sublanes, the second on the transposed
+    array."""
+    BR, W = key.shape
+    kr = key.reshape(BR // t, t, W).max(axis=1)               # (BR/t, W)
+    kt = kr.T.reshape(W // t, t, BR // t).max(axis=1)         # (W/t, BR/t)
+    return kt.T                                               # (BR/t, W/t)
+
+
+def _kernel_keys(hbm_ref, out_ref, scratch, sems,
+                 *, H, W, BR, halo, nb, total, conf, radius, iterations,
+                 border, tile):
+    """Same streaming NMS as `_kernel`, but reduces each interior block to
+    its (BR/t, W/t) int32 tile keys in VMEM — the full suppressed map never
+    returns to HBM (209 MB written + 209 MB re-read at B=128/640px in the
+    two-pass formulation; this writes 13 MB)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    TR = BR + 2 * halo
+    lin = b * nb + i
+    slot = jax.lax.rem(lin, 2)
+    t = tile
+
+    def src_slice(bi, ii):
+        row0 = ii * BR - halo
+        start = jnp.clip(row0, 0, H - TR)
+        start = pl.multiple_of(start, 8)
+        return bi, start
+
+    @pl.when(lin == 0)
+    def _():
+        b0, s0 = src_slice(b, i)
+        pltpu.make_async_copy(
+            hbm_ref.at[b0, pl.ds(s0, TR), :], scratch.at[0], sems.at[0]
+        ).start()
+
+    @pl.when(lin + 1 < total)
+    def _():
+        nxt = lin + 1
+        bn = jax.lax.div(nxt, nb)
+        inn = jax.lax.rem(nxt, nb)
+        b1, s1 = src_slice(bn, inn)
+        pltpu.make_async_copy(
+            hbm_ref.at[b1, pl.ds(s1, TR), :], scratch.at[1 - slot],
+            sems.at[1 - slot],
+        ).start()
+
+    bi, start = src_slice(b, i)
+    off = pl.multiple_of(i * BR - start, 8)
+    pltpu.make_async_copy(
+        hbm_ref.at[bi, pl.ds(start, TR), :], scratch.at[slot], sems.at[slot]
+    ).wait()
+
+    s = scratch[slot]  # (TR, W)
+    s = jnp.where(s >= conf, s, 0.0)
+    s = _nms_body(s, radius, iterations)
+
+    # dynamic interior slice via the VMEM ref (pl.ds on arrays doesn't lower)
+    scratch[slot] = s
+    si = scratch[slot, pl.ds(off, BR), :]                     # (BR, W)
+
+    # border removal + key packing on GLOBAL coordinates (tiles are aligned
+    # to the image origin; BR % t == 0 keeps block rows tile-aligned)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BR, W), 0) + i * BR
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BR, W), 1)
+    ok = (
+        (rows >= border) & (rows < H - border)
+        & (cols >= border) & (cols < W - border)
+    )
+    si = jnp.where(ok, si, 0.0)
+
+    pos_bits = max((t * t - 1).bit_length(), 1)
+    pos_mask = (1 << pos_bits) - 1
+    pos = (rows % t) * t + cols % t
+    key = jnp.where(
+        si > 0.0,
+        (jax.lax.bitcast_convert_type(si, jnp.int32) & ~pos_mask) | pos,
+        0,
+    )
+    out_ref[0] = _tile_reduce_in_kernel(key, t)
+
+
+def _pick_block(H: int, t: int, radius: int, iterations: int) -> tuple[int, int]:
+    """Row-block size + halo: the 3-iteration suppression has a finite
+    influence radius of (2*iterations - 1)*radius px, rounded up to the
+    sublane multiple."""
+    halo = -(-((2 * iterations - 1) * radius) // 8) * 8
+    # largest row block <= 256 dividing H, multiple of t, larger than halo
+    for cand in range(min(256, H), 0, -1):
+        # %8: sublane alignment of the dynamic interior offset (with halo%8==0
+        # and H%BR==0 every slice start stays 8-aligned)
+        if (H % cand == 0 and cand % t == 0 and cand % 8 == 0
+                and cand + 2 * halo <= H and cand >= halo):
+            return cand, halo
+    return H, 0  # image too small to block: single whole-image block
+
+
+def _run_nms_keys_kernel(
+    heatmap: jax.Array,
+    conf_thresh: float,
+    radius: int,
+    iterations: int,
+    border: int,
+    t: int,
+    interpret: bool,
+) -> jax.Array:
+    """Run the fused NMS+tile-keys kernel -> `(B, H/t * W/t)` int32 keys."""
+    B, H, W = heatmap.shape
+    assert H % t == 0 and W % t == 0, "pad the heatmap to tile multiples"
+    BR, halo = _pick_block(H, t, radius, iterations)
+    nb = H // BR
+    kernel = functools.partial(
+        _kernel_keys, H=H, W=W, BR=BR, halo=halo, nb=nb, total=B * nb,
+        conf=float(conf_thresh), radius=int(radius), iterations=int(iterations),
+        border=int(border), tile=t,
+    )
+    keys = pl.pallas_call(
+        kernel,
+        grid=(B, nb),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, BR // t, W // t), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H // t, W // t), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, BR + 2 * halo, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(heatmap.astype(jnp.float32))
+    return keys.reshape(B, (H // t) * (W // t))
+
+
 def _run_nms_kernel(
     heatmap: jax.Array,
     conf_thresh: float,
@@ -162,19 +304,7 @@ def _run_nms_kernel(
     """Run the blocked NMS kernel, returning the suppressed `(B, H, W)` map."""
     B, H, W = heatmap.shape
     assert H % t == 0 and W % t == 0, "pad the heatmap to tile multiples"
-    halo = -(-((2 * iterations - 1) * radius) // 8) * 8
-    # largest row block <= 256 dividing H, multiple of t, larger than halo
-    BR = None
-    for cand in range(min(256, H), 0, -1):
-        # %8: sublane alignment of the dynamic interior offset (with halo%8==0
-        # and H%BR==0 every slice start stays 8-aligned)
-        if (H % cand == 0 and cand % t == 0 and cand % 8 == 0
-                and cand + 2 * halo <= H and cand >= halo):
-            BR = cand
-            break
-    if BR is None:  # image too small to block: single whole-image block
-        BR, halo = H, 0
-
+    BR, halo = _pick_block(H, t, radius, iterations)
     nb = H // BR
     kernel = functools.partial(
         _kernel, H=H, W=W, BR=BR, halo=halo, nb=nb, total=B * nb,
@@ -248,12 +378,16 @@ def nms_tile_keys(
     mantissa bits, 2^-19-relative quantization) and its in-tile position
     (low bits), so a single top-k over the keys yields scores, tile ids AND
     in-tile offsets with no gather. Zero keys mean an empty tile.
+
+    Key packing AND tile reduction happen inside the streaming kernel, so
+    the only HBM traffic is one read of the heatmap plus the 1/t^2-sized
+    key write (the previous two-pass form wrote and re-read the full
+    suppressed map).
     """
     t = tile or max(int(radius), 1)
-    nmsed = _run_nms_kernel(
+    return _run_nms_keys_kernel(
         heatmap, conf_thresh, radius, iterations, border, t, interpret
     )
-    return _tile_keys(nmsed, t)
 
 
 def _tile_reduce_window(nmsed: jax.Array, t: int) -> tuple[jax.Array, jax.Array]:
