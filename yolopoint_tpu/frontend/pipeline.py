@@ -153,9 +153,9 @@ class InferencePipeline:
                 boxes=det["boxes"], box_scores=det["scores"],
                 box_classes=det["classes"], box_valid=det["valid"],
                 # overflow telemetry: the fused path is exact only while the
-                # gate passes <= max_nms candidates; values above the cap
-                # mean candidates were truncated (raise box_conf or use
-                # batched_box_nms with a larger max_nms)
+                # OBJECTNESS gate passes <= max_nms candidates; values above
+                # the cap mean candidates were truncated (raise box_conf or
+                # use batched_box_nms with a larger max_nms)
                 box_n_candidates=det["n_candidates"],
             )
             if self.filter_pts_in_boxes:
