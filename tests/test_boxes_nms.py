@@ -259,6 +259,71 @@ def test_fused_detect_nms_matches_batched(rng):
                                       np.asarray(exact["classes"][b])[ev])
 
 
+def test_fused_detect_nms_overcap_ranks_by_final_conf(rng):
+    """Advisor r3 medium: when MORE than max_nms anchors pass the objectness
+    gate, the truncation to max_nms must be ranked by FINAL confidence
+    (obj*cls, the reference's ordering general_yolo.py:156-160), not by
+    objectness — otherwise crowded scenes silently drop high-conf boxes.
+    fused_detect_nms gathers a 2x pool, so it stays exact up to 2*max_nms
+    objectness-gated candidates."""
+    import jax
+
+    from yolopoint_tpu.ops.nms import fused_detect_nms
+
+    B, nc, na = 1, 4, 3
+    strides = (8, 16, 32)
+    shapes = [(na, 16, 20), (na, 8, 10), (na, 4, 5)]
+    anchors_ps = np.abs(rng.normal(2.0, 1.0, (3, na, 2))).astype(np.float32) + 0.5
+
+    # ~200 candidates pass the objectness gate; cap max_nms=128 binds.
+    # Adversarial ranking: HIGH objectness paired with LOW class confidence
+    # and vice versa, so objectness order != final-conf order.
+    raw = []
+    for (a, ny, nx) in shapes:
+        r = rng.normal(-6.0, 0.5, (B, a, ny, nx, nc + 5)).astype(np.float32)
+        mask = rng.random((B, a, ny, nx)) < 0.15
+        obj_logit = rng.uniform(0.5, 5.0, (B, a, ny, nx)).astype(np.float32)
+        r[..., 4] = np.where(mask, obj_logit, r[..., 4])
+        # class logit anti-correlated with objectness
+        cls_logit = (5.5 - obj_logit)[..., None] + rng.normal(
+            0, 0.3, (B, a, ny, nx, nc)
+        ).astype(np.float32)
+        r[..., 5:] = np.where(mask[..., None], cls_logit, r[..., 5:])
+        raw.append(jnp.asarray(r))
+
+    decoded = []
+    for (a, ny, nx), r, s in zip(shapes, raw, strides):
+        sig = jax.nn.sigmoid(r)
+        gx = np.broadcast_to(np.arange(nx, dtype=np.float32), (a, ny, nx))
+        gy = np.broadcast_to(np.arange(ny, dtype=np.float32)[None, :, None], (a, ny, nx))
+        grid = jnp.asarray(np.stack([gx, gy], -1))[None]
+        anchor = jnp.asarray(
+            (anchors_ps[strides.index(s)] * s)[None, :, None, None, :]
+        )
+        xy = (sig[..., 0:2] * 2 - 0.5 + grid) * s
+        wh = (sig[..., 2:4] * 2) ** 2 * anchor
+        decoded.append(jnp.concatenate([xy, wh, sig[..., 4:]], -1).reshape(B, -1, nc + 5))
+    decoded = jnp.concatenate(decoded, axis=1)
+
+    n_gate = int((jax.nn.sigmoid(jnp.concatenate(
+        [r[..., 4].reshape(B, -1) for r in raw], 1)) > 0.25).sum())
+    assert 128 < n_gate <= 256, f"test needs the cap to bind: {n_gate}"
+
+    exact = batched_box_nms(decoded, conf_thres=0.25, iou_thres=0.45,
+                            max_det=64, max_nms=128)
+    fused = jax.jit(
+        lambda rl: fused_detect_nms(rl, anchors_ps, strides, conf_thres=0.25,
+                                    iou_thres=0.45, max_det=64, max_nms=128)
+    )(raw)
+    for b in range(B):
+        ev, fv = np.asarray(exact["valid"][b]), np.asarray(fused["valid"][b])
+        assert ev.sum() == fv.sum() > 0
+        np.testing.assert_allclose(np.asarray(fused["scores"][b])[fv],
+                                   np.asarray(exact["scores"][b])[ev], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fused["boxes"][b])[fv],
+                                   np.asarray(exact["boxes"][b])[ev], atol=1e-3)
+
+
 def _reference_nms_merge(pred, conf_thres, iou_thres, max_det=300):
     """Oracle for merge-NMS (/root/reference/src/utils/general_yolo.py:222-229):
     kept boxes become the score-weighted mean of ALL gated candidates

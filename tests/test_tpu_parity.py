@@ -93,12 +93,27 @@ def _heatmap_with_plateaus(rng, B, H, W):
     return hm
 
 
-def test_nms_tile_reduce_on_hardware(rng):
+# Every shape the serving paths actually run at (VERDICT r3 #2: the r3 bench
+# break shipped because only 256x384/r4 was gated):
+#   256x384/r4  — unit-test shape
+#   288x896/r8  — KITTI inference (configs/kitti_inference.yaml, bench_kitti_n)
+#   480x640/r4  — HPatches protocol scale (DataClasses.py:917-931)
+#   640x640/r4  — COCO / headline bench
+DEPLOY_SHAPES = [
+    (256, 384, 4, 0.05),
+    (288, 896, 8, 0.12),
+    (480, 640, 4, 0.015),
+    (640, 640, 4, 0.015),
+]
+
+
+@pytest.mark.parametrize("H,W,r,conf", DEPLOY_SHAPES)
+def test_nms_tile_reduce_on_hardware(rng, H, W, r, conf):
     from yolopoint_tpu.ops.pallas_nms import nms_tile_reduce, pallas_available
 
     assert pallas_available(), "Pallas must be available on the TPU backend"
-    B, H, W = 2, 256, 384
-    conf, r, iters, border, t = 0.05, 4, 3, 4, 4
+    B = 2
+    iters, border, t = 3, 4, r
     hm = _heatmap_with_plateaus(rng, B, H, W)
     masked = _xla_suppressed_map(jnp.asarray(hm), conf, r, iters, border)
     ref_max, _ = _xla_tile_reduce(jnp.asarray(hm), conf, r, iters, border, t)
@@ -110,13 +125,16 @@ def test_nms_tile_reduce_on_hardware(rng):
     assert nz.sum() > 100
 
 
-def test_nms_tile_keys_on_hardware(rng):
+@pytest.mark.parametrize("H,W,r,conf", DEPLOY_SHAPES)
+def test_nms_tile_keys_on_hardware(rng, H, W, r, conf):
     """The packed-key serving path: decoded (score, position) from compiled
-    keys must match the XLA tile reduction (scores to key quantization)."""
+    keys must match the XLA tile reduction (scores to key quantization).
+    Covers every deployment shape — r3's Mosaic lowering break (BR//t not
+    sublane-aligned at 288x896/r8) is exactly what this gate now catches."""
     from yolopoint_tpu.ops.pallas_nms import nms_tile_keys
 
-    B, H, W = 2, 256, 384
-    conf, r, iters, border, t = 0.05, 4, 3, 4, 4
+    B = 2
+    iters, border, t = 3, 4, r
     hm = _heatmap_with_plateaus(rng, B, H, W)
     masked = _xla_suppressed_map(jnp.asarray(hm), conf, r, iters, border)
     ref_max, _ = _xla_tile_reduce(jnp.asarray(hm), conf, r, iters, border, t)
@@ -133,30 +151,33 @@ def test_nms_tile_keys_on_hardware(rng):
     nz = ref_max > 0
     assert nz.sum() > 100
     np.testing.assert_array_equal(keys > 0, nz)
-    np.testing.assert_allclose(got_scores[nz], ref_max[nz], rtol=2**-19)
+    # key packing zeroes the low pos_bits mantissa bits -> 2^(pos_bits-23)
+    # relative score quantization (2^-19 at t=4, 2^-17 at t=8)
+    np.testing.assert_allclose(got_scores[nz], ref_max[nz], rtol=2**(pos_bits - 23))
     _assert_positions_attain_tile_max(masked, got_pos, ref_max, t, nz)
 
 
-def test_extract_keypoints_fast_path_matches_xla(rng):
+@pytest.mark.parametrize("H,W,r,conf", DEPLOY_SHAPES)
+def test_extract_keypoints_fast_path_matches_xla(rng, H, W, r, conf):
     """End-to-end: extract_keypoints takes the Pallas path on TPU for
     lane-aligned shapes; the decoded point SET must match the XLA branch
     (forced via a non-aligned-W copy padded back — here simply compared by
     re-running the XLA math)."""
     from yolopoint_tpu.ops.keypoints import extract_keypoints
 
-    B, H, W = 2, 256, 384
+    B, t = 2, r
     hm = _heatmap_with_plateaus(rng, B, H, W)
-    pts, scores, valid = extract_keypoints(jnp.asarray(hm), 0.05, 4, 600, 4)
-    masked = _xla_suppressed_map(jnp.asarray(hm), 0.05, 4, 3, 4)
-    ref_max, _ = _xla_tile_reduce(jnp.asarray(hm), 0.05, 4, 3, 4, 4)
+    pts, scores, valid = extract_keypoints(jnp.asarray(hm), conf, r, 600, 4)
+    masked = _xla_suppressed_map(jnp.asarray(hm), conf, r, 3, 4)
+    ref_max, _ = _xla_tile_reduce(jnp.asarray(hm), conf, r, 3, 4, t)
 
-    ntw = W // 4
+    ntw = W // t
     for b in range(B):
         v = np.asarray(valid[b])
         got_tiles = {}
         for (x, y), s in zip(np.asarray(pts[b])[v], np.asarray(scores[b])[v]):
             xi, yi = int(x), int(y)
-            ti = (yi // 4) * ntw + xi // 4
+            ti = (yi // t) * ntw + xi // t
             got_tiles[ti] = (xi, yi, float(s))
         exp_tiles = set(np.nonzero(ref_max[b] > 0)[0].tolist())
         assert set(got_tiles) == exp_tiles  # same survivor TILES
@@ -165,7 +186,10 @@ def test_extract_keypoints_fast_path_matches_xla(rng):
             # (ties within a plateau tile may pick a different corner than
             # argmax — both valid, see _xla_tile_reduce docstring)
             assert masked[b, yi, xi] == ref_max[b, ti]
-            np.testing.assert_allclose(s, ref_max[b, ti], rtol=2**-18)
+            # score quantization: low pos_bits mantissa bits carry the
+            # in-tile position (one extra bit of slack for the rounding)
+            pos_bits = max((t * t - 1).bit_length(), 1)
+            np.testing.assert_allclose(s, ref_max[b, ti], rtol=2**(pos_bits - 22))
 
 
 # ---------------------------------------------------------------- box NMS

@@ -152,10 +152,12 @@ class InferencePipeline:
             result.update(
                 boxes=det["boxes"], box_scores=det["scores"],
                 box_classes=det["classes"], box_valid=det["valid"],
-                # overflow telemetry: the fused path is exact only while the
-                # OBJECTNESS gate passes <= max_nms candidates; values above
-                # the cap mean candidates were truncated (raise box_conf or
-                # use batched_box_nms with a larger max_nms)
+                # overflow telemetry: the fused path is exact while the
+                # OBJECTNESS gate passes <= 2*max_nms candidates (the 2x
+                # pool truncates to max_nms by FINAL conf, the reference's
+                # ordering); values above mean candidates were dropped
+                # before scoring (raise box_conf or use batched_box_nms
+                # with a larger max_nms)
                 box_n_candidates=det["n_candidates"],
             )
             if self.filter_pts_in_boxes:

@@ -98,7 +98,8 @@ def extract_keypoints(
     # reduction to packed score/position keys in a single HBM pass
     # (ops.pallas_nms); top-k over the int32 keys is order-equivalent to
     # top-k over scores and carries the in-tile argmax in its low bits, so
-    # points need no per-point gather (scores are exact to 2^-19 relative).
+    # points need no per-point gather (scores exact to 2^(pos_bits-23)
+    # relative: 2^-19 at radius 4, 2^-17 at radius 8).
     from yolopoint_tpu.ops.pallas_nms import nms_tile_keys, pallas_available
 
     # W must be lane-aligned (128) for the kernel's HBM row DMA

@@ -374,9 +374,15 @@ def fused_detect_nms(
     `yolo.py:49-70`).
 
     Semantics match `batched_box_nms` on decoded predictions exactly
-    whenever at most `max_nms` candidates pass the objectness gate
-    (`n_candidates` in the output reports that count; above the cap the
-    lowest-objectness candidates are dropped before scoring).
+    whenever at most `2 * max_nms` candidates pass the objectness gate:
+    pass 1 gathers a 2x-oversized pool by objectness (an upper bound on
+    final conf, since conf = obj * sigmoid(cls) <= obj), and the truncation
+    to `max_nms` is ranked by FINAL confidence — the reference's over-cap
+    ordering (`general_yolo.py:156-160`), not objectness order (advisor r3
+    medium finding: objectness-ranked truncation silently dropped
+    high-final-conf boxes in crowded scenes). `n_candidates` reports the
+    objectness-gated count; values above `2 * max_nms` mean the pool
+    truncated before scoring.
 
     Args:
       raw_levels: nl raw Detect tensors `(B, na, ny, nx, 5+nc)` (any dtype).
@@ -394,7 +400,10 @@ def fused_detect_nms(
         axis=1,
     )                                                            # (B, N)
     gated_obj = jnp.where(obj_all > conf_thres, obj_all, -1.0)
-    k = min(max_nms, gated_obj.shape[1])
+    # 2x-oversized objectness pool: obj upper-bounds final conf, so ranking
+    # the pool by obj and the truncation-to-max_nms by final conf matches
+    # the reference exactly unless >2*max_nms anchors pass the gate
+    k = min(2 * max_nms, gated_obj.shape[1])
     top_obj, idx = jax.lax.top_k(gated_obj, k)                   # (B, K)
 
     # ---- pass 2 (K rows only): gather + per-candidate decode ----
@@ -434,9 +443,11 @@ def fused_detect_nms(
     score = top_obj * jax.nn.sigmoid(cls_logit.max(axis=-1))     # (B, K)
 
     # final confidence gate + NMS priority order (descending final score,
-    # exactly `batched_box_nms`'s ranking)
+    # exactly `batched_box_nms`'s ranking); truncation of the 2x pool back
+    # to max_nms happens HERE, by final conf — the reference's ordering
     gated = jnp.where((top_obj > 0.0) & (score > conf_thres), score, -1.0)
-    sc, order = jax.lax.top_k(gated, k)                          # (B, K)
+    kk = min(max_nms, k)
+    sc, order = jax.lax.top_k(gated, kk)                         # (B, kk)
     boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
     classes = jnp.take_along_axis(cls_idx, order, axis=1)
 

@@ -242,7 +242,8 @@ def _kernel_keys(hbm_ref, out_ref, scratch, sems,
     out_ref[0] = _tile_reduce_in_kernel(key, t)
 
 
-def _pick_block(H: int, t: int, radius: int, iterations: int) -> tuple[int, int]:
+def _pick_block(H: int, t: int, radius: int, iterations: int,
+                keys: bool = False) -> tuple[int, int]:
     """Row-block size + halo: the 3-iteration suppression has a finite
     influence radius of (2*iterations - 1)*radius px, rounded up to the
     sublane multiple."""
@@ -251,10 +252,19 @@ def _pick_block(H: int, t: int, radius: int, iterations: int) -> tuple[int, int]
     for cand in range(min(256, H), 0, -1):
         # %8: sublane alignment of the dynamic interior offset (with halo%8==0
         # and H%BR==0 every slice start stays 8-aligned)
-        if (H % cand == 0 and cand % t == 0 and cand % 8 == 0
+        if not (H % cand == 0 and cand % t == 0 and cand % 8 == 0
                 and cand + 2 * halo <= H and cand >= halo):
-            return cand, halo
-    return H, 0  # image too small to block: single whole-image block
+            continue
+        # keys kernel: the output block is (1, cand//t, W//t) — Mosaic needs
+        # the block sublane dim divisible by 8 OR equal to the array dim
+        # (H//t). Without this, 288px/r8 picks BR=144 -> 18 tile rows vs
+        # array 36 and lowering fails (broke BENCH_r03 at KITTI shape).
+        if keys and (cand // t) % 8 != 0 and cand != H:
+            continue
+        return cand, halo
+    # image too small to block (or no tile-aligned block exists): single
+    # whole-image block — output sublane dim == array dim, always legal
+    return H, 0
 
 
 def _run_nms_keys_kernel(
@@ -269,7 +279,7 @@ def _run_nms_keys_kernel(
     """Run the fused NMS+tile-keys kernel -> `(B, H/t * W/t)` int32 keys."""
     B, H, W = heatmap.shape
     assert H % t == 0 and W % t == 0, "pad the heatmap to tile multiples"
-    BR, halo = _pick_block(H, t, radius, iterations)
+    BR, halo = _pick_block(H, t, radius, iterations, keys=True)
     nb = H // BR
     kernel = functools.partial(
         _kernel_keys, H=H, W=W, BR=BR, halo=halo, nb=nb, total=B * nb,
@@ -375,7 +385,8 @@ def nms_tile_keys(
     """Fused NMS + tile reduction to order-preserving int32 keys.
 
     The serving fast path: each key packs the survivor's score (top
-    mantissa bits, 2^-19-relative quantization) and its in-tile position
+    mantissa bits, 2^(pos_bits-23)-relative quantization: 2^-19 at t=4,
+    2^-17 at t=8) and its in-tile position
     (low bits), so a single top-k over the keys yields scores, tile ids AND
     in-tile offsets with no gather. Zero keys mean an empty tile.
 
@@ -422,7 +433,7 @@ def _tile_reduce_window(nmsed: jax.Array, t: int) -> tuple[jax.Array, jax.Array]
 def _tile_keys(nmsed: jax.Array, t: int) -> jax.Array:
     """Pool the order-preserving int32 keys: score bits with the low
     `pos_bits` mantissa bits replaced by the in-tile position. One
-    reduce_window carries BOTH the (2^-19-relative quantized) score and the
+    reduce_window carries BOTH the (2^(pos_bits-23)-relative quantized) score and the
     argmax — `extract_keypoints` top-ks the keys directly, so no per-point
     gather is ever needed."""
     B, H, W = nmsed.shape
