@@ -78,6 +78,11 @@ def evaluate_detection(
     confusion = ConfusionMatrix(nc=max(len(names), 1))
     stats = []
     n_images = 0
+    # with shuffle=False the loader walks arange(steps*B) % total, so any
+    # wrapped duplicates sit at the TAIL of the last batch — stopping at
+    # `total` scores every image exactly once (the reference val semantics),
+    # including the final partial batch when steps = ceil(total/B)
+    n_unique = getattr(loader, "total", None)
     pre_s = infer_s = 0.0
     t_host = time.perf_counter()
     for batch in loader:
@@ -93,6 +98,8 @@ def evaluate_detection(
         infer_s += time.perf_counter() - t0
 
         for b in range(B):
+            if n_unique is not None and n_images >= n_unique:
+                break  # wrapped duplicate rows of the final partial batch
             bm = batch["box_mask"][b].astype(bool)
             gts = batch["boxes"][b][bm]
             labels = (
@@ -203,7 +210,14 @@ def main(argv=None):
         build_dataset(c["data"], args.split, names, args.data_root)
         for c in resolve_sub_configs(config, Path(args.config).parent)
     ]
-    loader = DataLoader(sets, args.batch, shuffle=False)
+    # ceil: include the final partial batch (evaluate_detection masks the
+    # wrapped duplicate rows), so every val image scores exactly once like
+    # the reference val loop
+    total = sum(len(s) for s in sets)
+    loader = DataLoader(
+        sets, args.batch, shuffle=False,
+        steps_per_epoch=max(-(-total // args.batch), 1),
+    )
 
     program = make_eval_program(
         model, loaded["variables"], args.conf, args.iou, args.max_det,
