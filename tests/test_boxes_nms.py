@@ -264,8 +264,8 @@ def test_fused_detect_nms_overcap_ranks_by_final_conf(rng):
     gate, the truncation to max_nms must be ranked by FINAL confidence
     (obj*cls, the reference's ordering general_yolo.py:156-160), not by
     objectness — otherwise crowded scenes silently drop high-conf boxes.
-    fused_detect_nms gathers a 2x pool, so it stays exact up to 2*max_nms
-    objectness-gated candidates."""
+    fused_detect_nms ranks the FULL map by final confidence, so it is exact
+    in every regime."""
     import jax
 
     from yolopoint_tpu.ops.nms import fused_detect_nms

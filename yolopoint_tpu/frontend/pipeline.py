@@ -142,7 +142,7 @@ class InferencePipeline:
             result["heatmap"] = heat
 
         if "objects" in out:
-            # fused path: decode only the objectness-gated top candidates
+            # fused path: compact full-map decode + final-conf top-k + NMS
             det = fused_detect_nms(
                 out["objects"], self._anchors_ps, self._strides,
                 conf_thres=self.box_conf,
@@ -152,12 +152,9 @@ class InferencePipeline:
             result.update(
                 boxes=det["boxes"], box_scores=det["scores"],
                 box_classes=det["classes"], box_valid=det["valid"],
-                # overflow telemetry: the fused path is exact while the
-                # OBJECTNESS gate passes <= 2*max_nms candidates (the 2x
-                # pool truncates to max_nms by FINAL conf, the reference's
-                # ordering); values above mean candidates were dropped
-                # before scoring (raise box_conf or use batched_box_nms
-                # with a larger max_nms)
+                # telemetry: confidence-gated candidate count; values above
+                # max_nms mean the cap truncated (lowest-conf first, the
+                # reference's own over-cap behavior)
                 box_n_candidates=det["n_candidates"],
             )
             if self.filter_pts_in_boxes:
