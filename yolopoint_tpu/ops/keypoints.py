@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from yolopoint_tpu.ops.topk import exact_top_k
+
 
 def _maxpool2d(x: jax.Array, radius: int) -> jax.Array:
     """Max over a (2r+1)^2 window (∞-norm ball), SAME padding. x: (B, H, W).
@@ -110,7 +112,7 @@ def extract_keypoints(
         )
         n_tiles = keys.shape[1]
         k = min(max_k, n_tiles)
-        key_k, tidx = jax.lax.top_k(keys, k)
+        key_k, tidx = exact_top_k(keys, k)
         pos_bits = max((t * t - 1).bit_length(), 1)
         pos_mask = (1 << pos_bits) - 1
         scores = jnp.where(
@@ -157,7 +159,7 @@ def extract_keypoints(
 
     n_tiles = tile_max.shape[1]
     k = min(max_k, n_tiles)
-    scores, tidx = jax.lax.top_k(tile_max, k)
+    scores, tidx = exact_top_k(tile_max, k)
     sub = jnp.take_along_axis(tile_arg, tidx, axis=1)
     ntw = Wp // t
     x = ((tidx % ntw) * t + sub % t).astype(jnp.float32)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolopoint_tpu.ops.boxes import box_iou, xywh2xyxy
+from yolopoint_tpu.ops.topk import exact_top_k
 
 MAX_WH = 7680.0  # class-offset magnitude, reference general_yolo.py:152
 
@@ -236,7 +237,7 @@ def _select_detections(
         keep = _greedy_keep_batched(boxes_off, top_valid, iou_thres)
         kept_scores = jnp.where(keep, top_scores, -1.0)
         k_out = min(max_det, K)
-        out_scores, out_idx = jax.lax.top_k(kept_scores, k_out)
+        out_scores, out_idx = exact_top_k(kept_scores, k_out)
         pad = max_det - k_out
         if pad:
             out_scores = jnp.pad(
@@ -338,7 +339,7 @@ def batched_box_nms(
 
         gated = jnp.where(cand, scores, -1.0)
         k = min(max_nms, gated.shape[0])
-        top_scores, top_idx = jax.lax.top_k(gated, k)
+        top_scores, top_idx = exact_top_k(gated, k)
         top_boxes = boxes_f[top_idx]
         top_classes = classes[top_idx]
         return top_boxes, top_scores, top_classes, (gated > 0.0).sum().astype(jnp.int32)
@@ -431,7 +432,7 @@ def fused_detect_nms(
     # exact NMS priority order: final confidence, descending (stable in
     # anchor index on ties — the same order batched_box_nms produces)
     k = min(max_nms, gated.shape[1])
-    sc, idx = jax.lax.top_k(gated, k)                            # (B, K)
+    sc, idx = exact_top_k(gated, k)                              # (B, K)
     g = jnp.take_along_axis(planes, idx[:, None, :], axis=2)     # (B, 5, K)
     boxes = jnp.moveaxis(g[:, 0:4, :], 1, 2)                     # (B, K, 4)
     classes = g[:, 4, :].astype(jnp.int32)
