@@ -4,6 +4,9 @@ payloads), sharded along the data axis of the mesh."""
 
 import numpy as np
 import pytest
+# cold-compile >120 s on the 1-core CI host (file_times sweep, r4) -> slow tier
+pytestmark = pytest.mark.slow
+
 
 from yolopoint_tpu.data.loader import DataLoader
 from yolopoint_tpu.data.synthetic import SHAPE_CLASS_NAMES, SyntheticShapes

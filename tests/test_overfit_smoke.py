@@ -6,6 +6,10 @@ corner blobs at the labeled keypoints of a tiny fixed batch, run a few dozen
 train steps, and require the joint loss to drop substantially and the
 detector heatmap to concentrate on the planted points."""
 
+import pytest
+# cold-compile >120 s on the 1-core CI host (file_times sweep, r4) -> slow tier
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

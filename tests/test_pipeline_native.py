@@ -4,6 +4,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+# cold-compile >120 s on the 1-core CI host (file_times sweep, r4) -> slow tier
+pytestmark = pytest.mark.slow
+
 
 from yolopoint_tpu.data import native
 from yolopoint_tpu.frontend.pipeline import InferencePipeline, preprocess_frame

@@ -7,6 +7,9 @@ reference ships none and trains from pre-exported pseudo-labels,
 
 import numpy as np
 import pytest
+# cold-compile >120 s on the 1-core CI host (file_times sweep, r4) -> slow tier
+pytestmark = pytest.mark.slow
+
 
 from yolopoint_tpu.data.synthetic import (
     SHAPE_CLASS_NAMES,

@@ -5,6 +5,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+# cold-compile >120 s on the 1-core CI host (file_times sweep, r4) -> slow tier
+pytestmark = pytest.mark.slow
+
 
 from yolopoint_tpu.data.augmentation import build_training_views, homographic_augment
 from yolopoint_tpu.data.loader import DataLoader, pad_collate, length_normalized_weights
