@@ -64,7 +64,12 @@ def _trained_metrics() -> dict:
     tools/summarize_run.py into RESULTS.json) in the bench line, so
     BENCH_r*.json carries repeatability / homography-correctness /
     matching-score / mAP from TRAINED weights, not just random-weight
-    throughput."""
+    throughput.
+
+    VERDICT r4 #2: the full RESULTS.json blob is ~8 KB and, placed at the
+    end of the line, consumed the driver's 2000-char tail capture so the
+    official record carried zero perf numbers. Compact each run to <=4
+    headline keys here; the full per-run record stays in RESULTS.json."""
     import os
 
     p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "RESULTS.json")
@@ -72,9 +77,24 @@ def _trained_metrics() -> dict:
         return {}
     try:
         with open(p) as f:
-            return {"trained": json.load(f)}
+            full = json.load(f)
     except Exception:
         return {}
+    compact = {}
+    for run, rec in full.items():
+        if not isinstance(rec, dict):
+            continue
+        best = rec.get("best", {}) if isinstance(rec.get("best"), dict) else {}
+        row = {}
+        for k in ("fitness", "repeatability", "matching_score", "mAP50"):
+            if k in best:
+                row[k] = best[k]
+        hp = rec.get("hpatches")
+        if isinstance(hp, dict) and "correctness@3" in hp:
+            row["hpatches_corr3"] = hp["correctness@3"]
+        if row:
+            compact[run] = row
+    return {"trained": compact} if compact else {}
 
 
 def _program_flops(jitted, *args) -> float:
@@ -368,12 +388,16 @@ if __name__ == "__main__":
     value, stats = bench_throughput()
     kitti_n = bench_kitti_n()
     train_img_s, train_mfu, host_warp_ms = bench_train_step()
+    # `trained` goes in the MIDDLE and compacted (VERDICT r4 #2): the driver
+    # records only the tail of this line, so every perf field must come after
+    # any variable-size payload.
     print(json.dumps({
         "metric": "yolopoint_s_640_inference",
         "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / TORCH_CPU_BASELINE_IMG_S, 2),
         "batch": BATCH,
+        **_trained_metrics(),
         "batch1_ms_p50": round(batch1_ms, 3),
         "kpt_match_ms_p50": round(kpt_ms, 3),
         "precision": "bf16-fused",
@@ -382,5 +406,4 @@ if __name__ == "__main__":
         "train_img_s": round(train_img_s, 2),
         "train_mfu": train_mfu,
         "train_host_warp_ms": host_warp_ms,
-        **_trained_metrics(),
     }))

@@ -429,8 +429,10 @@ def fused_detect_nms(
     planes = jnp.concatenate(planes_l, axis=2)                   # (B, 5, N)
     gated = jnp.concatenate(gated_l, axis=1)                     # (B, N)
 
-    # exact NMS priority order: final confidence, descending (stable in
-    # anchor index on ties — the same order batched_box_nms produces)
+    # exact NMS priority order: final confidence, descending. Tie order
+    # among equal confidences is unspecified (PartialReduce, see
+    # ops/topk.py) — acceptable: the reference's conf sort is unstable too
+    # (/root/reference/src/utils/general_yolo.py:156-160).
     k = min(max_nms, gated.shape[1])
     sc, idx = exact_top_k(gated, k)                              # (B, K)
     g = jnp.take_along_axis(planes, idx[:, None, :], axis=2)     # (B, 5, K)

@@ -45,8 +45,10 @@ def exact_top_k(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
 
     Args:
       x: `(..., N)` float array, or NON-NEGATIVE int32 whose values stay
-        below `0x7F80_0000` (no NaN/Inf float views) — e.g. the packed
-        keypoint keys.
+        below `0x4000_0000` — after the +0x3F80_0000 denormal-avoidance
+        bias, values at or above that bound view as negative floats /
+        NaN-space and silently corrupt the ordering (see module docstring;
+        the packed keypoint keys stay well inside the bound).
       k: number of results, `k <= N`.
 
     Returns:
