@@ -315,17 +315,57 @@ def render_sample(
     W: int,
     primitives: Optional[Sequence[str]] = None,
     blur_prob: float = 0.5,
+    n_shapes: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Render one image. Returns (u8 (H, W) image, points (N, 2) xy,
-    boxes (M, 5) [cls, cxcywh normalized])."""
+    boxes (M, 5) [cls, cxcywh normalized]).
+
+    `n_shapes > 1` renders a DENSE scene: the canvas is partitioned into a
+    near-square grid and one primitive is drawn per cell (labels stay exact
+    because shapes cannot occlude each other across cells). Dense scenes
+    spread correspondences over the whole frame, which is what the
+    homography-correctness metric needs — RANSAC H from matches clustered
+    on one shape outline extrapolates noisily to the image corners
+    (RESULTS.md, "Why extended-val homography_correctness stays near 0")."""
     import cv2
 
     table = [(n, f) for n, f in PRIMITIVES if primitives is None or n in primitives]
     w = np.array([PRIMITIVE_WEIGHTS[[p[0] for p in PRIMITIVES].index(n)]
                   for n, _ in table])
-    name, fn = table[rng.choice(len(table), p=w / w.sum())]
     img = _background(rng, H, W)
-    pts, boxes = fn(rng, img)
+    if n_shapes > 1:
+        gy = max(int(np.sqrt(n_shapes)), 1)
+        gx = int(np.ceil(n_shapes / gy))
+        ys = np.linspace(0, H, gy + 1).astype(int)
+        xs = np.linspace(0, W, gx + 1).astype(int)
+        cells = [(ys[i], ys[i + 1], xs[j], xs[j + 1])
+                 for i in range(gy) for j in range(gx)]
+        order = rng.permutation(len(cells))[:n_shapes]
+        pts_l, boxes_l = [], []
+        for ci in order:
+            y0, y1, x0, x1 = cells[ci]
+            tile = np.ascontiguousarray(img[y0:y1, x0:x1])
+            _, fn_i = table[rng.choice(len(table), p=w / w.sum())]
+            p_i, b_i = fn_i(rng, tile)
+            img[y0:y1, x0:x1] = tile
+            if len(p_i):
+                p_i = p_i + np.array([x0, y0], np.float32)
+                pts_l.append(p_i)
+            if len(b_i):
+                th, tw = y1 - y0, x1 - x0
+                b = b_i.copy()
+                b[:, 1] = (b[:, 1] * tw + x0) / W
+                b[:, 2] = (b[:, 2] * th + y0) / H
+                b[:, 3] = b[:, 3] * tw / W
+                b[:, 4] = b[:, 4] * th / H
+                boxes_l.append(b)
+        pts = (np.concatenate(pts_l, 0) if pts_l
+               else np.zeros((0, 2), np.float32))
+        boxes = (np.concatenate(boxes_l, 0) if boxes_l
+                 else np.zeros((0, 5), np.float32))
+    else:
+        _, fn = table[rng.choice(len(table), p=w / w.sum())]
+        pts, boxes = fn(rng, img)
     if rng.random() < blur_prob:
         k = 2 * int(rng.integers(1, 3)) + 1
         img = cv2.GaussianBlur(img, (k, k), 0)
@@ -373,6 +413,12 @@ class SyntheticShapes:
         self.primitives = gen.get("primitives")
         self.blur_prob = float(gen.get("blur_prob", 0.5))
         self.seed = int(gen.get("seed", 17))
+        # dense scenes: int (both splits) or {train: a, val: b}. Denser val
+        # scenes make the fitness homography term informative (VERDICT r4 #8)
+        spi = gen.get("shapes_per_image", 1)
+        if isinstance(spi, Mapping):
+            spi = spi.get(self.action, 1)
+        self.n_shapes = max(int(spi), 1)
         # RAM cache of rendered samples: a sample is a pure function of
         # (seed, split, index), so re-rendering every epoch only burns host
         # CPU (the single-core host is the training bottleneck at ~65 ms of
@@ -404,7 +450,8 @@ class SyntheticShapes:
             return cached
         rng = _rng_for(self.seed, self.action, int(idx))
         H, W = self.hw
-        out = render_sample(rng, H, W, self.primitives, self.blur_prob)
+        out = render_sample(rng, H, W, self.primitives, self.blur_prob,
+                            n_shapes=self.n_shapes)
         if self.cache_images:
             self._cache[idx] = out
         return out
