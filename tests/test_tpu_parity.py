@@ -293,6 +293,36 @@ def test_mxu_warp_on_hardware(rng):
     np.testing.assert_array_equal(got_n, ref_n)
 
 
+def test_windowed_warp_on_hardware(rng):
+    """Compiled windowed-DMA warp at the S@640 aug shape vs the exact XLA
+    gather warp (the dense MXU kernel cannot serve 640x640 — its VMEM and
+    FLOP cost scale with the image; this one scales with the source
+    window)."""
+    from yolopoint_tpu.ops.geometry import _warp_image_xla
+    from yolopoint_tpu.ops.homography import sample_homography_np
+    from yolopoint_tpu.ops.pallas_warp import (
+        warp_fits_pallas, warp_fits_windowed, warp_image_pallas_windowed,
+    )
+
+    B, H, W, C = 4, 640, 640, 3
+    assert not warp_fits_pallas((B, H, W, C))
+    assert warp_fits_windowed((B, H, W, C))
+    img = jnp.asarray(rng.uniform(0, 1, (B, H, W, C)).astype(np.float32))
+    hom = jnp.asarray(np.stack([
+        sample_homography_np((H, W), seed=i, patch_ratio=0.85,
+                             perspective=True, scaling=True, rotation=True,
+                             translation=True) for i in range(B)]), jnp.float32)
+    got = np.asarray(warp_image_pallas_windowed(img, hom, "bilinear"))
+    ref = np.asarray(_warp_image_xla(img, hom, "bilinear"))
+    assert np.abs(got - ref).max() < 1.5e-2
+    assert np.abs(got - ref).mean() < 2e-3
+
+    got_n = np.asarray(warp_image_pallas_windowed(img, hom, "nearest"))
+    ref_n = np.asarray(_warp_image_xla(img, hom, "nearest"))
+    # nearest: exact selection, bf16 value quantization only
+    assert np.abs(got_n - ref_n).max() < 2.5e-3
+
+
 # ---------------------------------------------------------------- MXU gather
 
 

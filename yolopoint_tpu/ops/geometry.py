@@ -96,9 +96,13 @@ def _warp_image_xla(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _warp_image_mxu(img, homography_inv, mode):
-    from yolopoint_tpu.ops.pallas_warp import warp_image_pallas
+    from yolopoint_tpu.ops.pallas_warp import (
+        warp_fits_pallas, warp_image_pallas, warp_image_pallas_windowed,
+    )
 
-    return warp_image_pallas(img, homography_inv, mode)
+    if warp_fits_pallas(img.shape, mode):
+        return warp_image_pallas(img, homography_inv, mode)
+    return warp_image_pallas_windowed(img, homography_inv, mode)
 
 
 def _warp_mxu_fwd(img, homography_inv, mode):
@@ -150,9 +154,15 @@ def warp_image(
     if (mode in ("bilinear", "nearest")
             and not os.environ.get("YP_DISABLE_PALLAS_WARP")
             and jax.default_backend() == "tpu"):
-        from yolopoint_tpu.ops.pallas_warp import warp_fits_pallas
+        from yolopoint_tpu.ops.pallas_warp import (
+            warp_fits_pallas, warp_fits_windowed,
+        )
 
-        if warp_fits_pallas(img.shape, mode):
+        # small shapes: whole image VMEM-resident, dense tent matmuls;
+        # big shapes (480x640+): windowed-DMA kernel — FLOPs scale with the
+        # per-tile source window, not the image (the XLA gather alternative
+        # measured ~1.9 s for a (32, 640, 640, 3) aug pass)
+        if warp_fits_pallas(img.shape, mode) or warp_fits_windowed(img.shape, mode):
             return _warp_image_mxu(img, homography_inv, mode)
     return _warp_image_xla(img, homography_inv, mode)
 
