@@ -44,17 +44,22 @@ def initialize_multi_host(
     devices, so `psum` gradients ride ICI within a slice and DCN across
     slices with no further code changes.
     """
-    if jax.process_count() == 1 and (coordinator_address or num_processes):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    elif jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()  # env auto-detection (TPU pods)
-        except Exception:
-            pass  # single-host fallback: local devices only
+    # NOTE: must not touch jax.process_count()/jax.devices() before
+    # jax.distributed.initialize() — they initialise the XLA backend, after
+    # which distributed init is rejected (caught by
+    # tests/test_multihost_init.py; the original guard did exactly that).
+    if not jax.distributed.is_initialized():
+        if coordinator_address or num_processes:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            try:
+                jax.distributed.initialize()  # env auto-detection (TPU pods)
+            except Exception:
+                pass  # single-host fallback: local devices only
     return make_mesh()
 
 
