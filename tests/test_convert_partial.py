@@ -4,6 +4,7 @@
 `load_pretrained_yolo` `/root/reference/src/utils/utils.py:64-75`)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -119,6 +120,7 @@ def test_torch_state_dict_roundtrip():
         np.testing.assert_array_equal(back[k], sd[k].numpy(), err_msg=k)
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget, VERDICT r4 #6)
 def test_checkpoint_ema_roundtrip(tmp_path):
     """EMA shadow params survive save/restore and restore_best."""
     import optax

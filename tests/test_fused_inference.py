@@ -72,6 +72,7 @@ def test_fold_batch_norm_exact_f32(setup):
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget, VERDICT r4 #6)
 def test_fused_bf16_close_to_f32(setup):
     """The bench/deploy path (bf16 convs + folded BN) stays within bf16
     tolerance of the f32 reference forward."""

@@ -1,6 +1,7 @@
 """Homography sampling + perspective solve parity."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -45,6 +46,7 @@ def test_sample_homography_crop_branch():
     assert H.shape == (3, 3) and H_big.shape == (3, 3)
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget, VERDICT r4 #6)
 def test_sample_homography_batch_valid(rng):
     key = jax.random.PRNGKey(0)
     Hs = hg.sample_homography_batch(key, 16)

@@ -100,6 +100,7 @@ def test_export_cli_writes_npz(tmp_path, rng):
     assert pts.ndim == 2 and pts.shape[1] == 3  # [x, y, prob]
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget, VERDICT r4 #6)
 def test_host_adaptation_matches_device(tmp_path):
     """homography_adaptation_host == homography_adaptation_batch given the
     same homographies (host C++ warps are exact twins of the device warp)."""

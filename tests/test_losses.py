@@ -129,6 +129,7 @@ class _FakeModel:
         self.model = inner
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget, VERDICT r4 #6)
 def test_object_loss_matches_reference(rng, ref_loss_mod):
     from yolopoint_tpu.models.detect import Detect
 
@@ -207,6 +208,7 @@ def test_dense_descriptor_loss_matches_reference(rng, ref_loss_mod):
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget, VERDICT r4 #6)
 def test_sparse_descriptor_loss_reasonable(rng):
     """The sparse loss is stochastic (fixed-shape redesign), so check
     behavioral properties rather than exact parity: perfectly matching

@@ -23,8 +23,11 @@ def _batch_homs(B, H, W, seed0=0, **kw):
                   for i in range(B)]), jnp.float32)
 
 
+# fast-tier cases use small grids (the kernel logic is shape-generic: the
+# window clamps to the image via _window_dims); the serving-scale 480x640
+# case lives in the slow tier and on-hardware in tests/test_tpu_parity.py
 @pytest.mark.parametrize("mode", ["bilinear", "nearest"])
-@pytest.mark.parametrize("shape", [(2, 480, 640, 3), (1, 288, 896, 1)])
+@pytest.mark.parametrize("shape", [(2, 192, 384, 3), (1, 96, 256, 1)])
 def test_windowed_matches_xla(mode, shape):
     B, H, W, C = shape
     assert warp_fits_windowed(shape, mode)
@@ -40,11 +43,25 @@ def test_windowed_matches_xla(mode, shape):
     assert np.abs(got - ref).max() <= tol
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["bilinear"])
+def test_windowed_serving_shape(mode):
+    """Full 480x640 serving-shape parity (compile-heavy: slow tier)."""
+    B, H, W, C = 2, 480, 640, 3
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 1, (B, H, W, C)), jnp.float32)
+    hom = _batch_homs(B, H, W, patch_ratio=0.85, perspective=True,
+                      scaling=True, rotation=True, translation=True)
+    got = np.asarray(warp_image_pallas_windowed(img, hom, mode, interpret=True))
+    ref = np.asarray(_warp_image_xla(img, hom, mode))
+    assert np.abs(got - ref).max() <= 6e-3
+
+
 def test_windowed_identity_and_shift():
     """Identity H reproduces the image; a large translation still resolves
     (window origins track the tiles wherever the homography sends them)."""
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.uniform(0, 1, (1, 480, 640, 3)), jnp.float32)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 192, 384, 3)), jnp.float32)
     eye = jnp.eye(3)[None]
     out = np.asarray(warp_image_pallas_windowed(img, eye, "bilinear",
                                                 interpret=True))

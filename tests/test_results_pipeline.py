@@ -88,8 +88,19 @@ def test_bench_trained_hook_reads_results_json(tmp_path, monkeypatch):
     # no RESULTS.json -> empty dict (bench line stays valid)
     monkeypatch.setattr("os.path.dirname", lambda p: str(tmp_path))
     assert bench._trained_metrics() == {}
-    (tmp_path / "RESULTS.json").write_text(json.dumps({"synth": {"best": {}}}))
-    assert bench._trained_metrics() == {"trained": {"synth": {"best": {}}}}
+    # VERDICT r4 #2 contract: each run COMPACTED to <=5 headline keys so the
+    # driver's tail capture keeps the perf fields; extra best-keys dropped,
+    # hpatches correctness@3 surfaced
+    (tmp_path / "RESULTS.json").write_text(json.dumps({
+        "synth": {"best": {"fitness": 0.6, "repeatability": 0.5,
+                           "matching_score": 0.3, "mAP50": 0.9,
+                           "loss": 1.0, "precision": 0.1},
+                  "hpatches": {"correctness@3": 0.4, "num_pairs": 120}},
+        "empty_run": {"best": {}},
+    }))
+    assert bench._trained_metrics() == {"trained": {"synth": {
+        "fitness": 0.6, "repeatability": 0.5, "matching_score": 0.3,
+        "mAP50": 0.9, "hpatches_corr3": 0.4}}}
     # corrupt file -> empty dict, never an exception
     (tmp_path / "RESULTS.json").write_text("{broken")
     assert bench._trained_metrics() == {}
