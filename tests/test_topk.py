@@ -16,12 +16,14 @@ from yolopoint_tpu.ops.topk import exact_top_k
 
 def _check(x, k):
     ve, ie = jax.lax.top_k(x, k)
-    va, ia = exact_top_k(x, k)
-    np.testing.assert_array_equal(np.asarray(ve), np.asarray(va))
-    # indices must point at entries carrying the same value (tie-tolerant)
-    np.testing.assert_array_equal(
-        np.take_along_axis(np.asarray(x), np.asarray(ia), -1), np.asarray(va)
-    )
+    for two_stage in (False, True):
+        va, ia = exact_top_k(x, k, two_stage=two_stage)
+        np.testing.assert_array_equal(np.asarray(ve), np.asarray(va))
+        # indices must point at entries carrying the same value (tie-tolerant)
+        np.testing.assert_array_equal(
+            np.take_along_axis(np.asarray(x), np.asarray(ia), -1),
+            np.asarray(va),
+        )
 
 
 def test_sparse_sentinel_plane():

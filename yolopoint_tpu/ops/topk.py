@@ -40,7 +40,9 @@ import jax
 import jax.numpy as jnp
 
 
-def exact_top_k(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+def exact_top_k(
+    x: jax.Array, k: int, two_stage: bool = False
+) -> tuple[jax.Array, jax.Array]:
     """Drop-in `lax.top_k` replacement: exact values, sorted descending.
 
     Args:
@@ -50,17 +52,31 @@ def exact_top_k(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
         NaN-space and silently corrupt the ordering (see module docstring;
         the packed keypoint keys stay well inside the bound).
       k: number of results, `k <= N`.
+      two_stage: run PartialReduce with `aggregate_to_topk=False` (an
+        unsorted l >= k candidate superset) and finish with a small dense
+        `lax.top_k` over the l columns, instead of the built-in
+        aggregation sort over the same candidates. Same exact result;
+        cheaper when the aggregation dominates (profile with
+        `python tools/profile.py topk-stage2`).
 
     Returns:
       `(values, indices)`, each `(..., k)`, values sorted descending. Equal
       to `lax.top_k(x, k)` except for index tie-breaking among equal values.
     """
+    def _reduce(xf):
+        if not two_stage:
+            return jax.lax.approx_max_k(xf, k, recall_target=1.0)
+        v, i = jax.lax.approx_max_k(xf, k, recall_target=1.0,
+                                    aggregate_to_topk=False)
+        sv, si = jax.lax.top_k(v, k)
+        return sv, jnp.take_along_axis(i, si, axis=-1)
+
     if jnp.issubdtype(x.dtype, jnp.integer):
         assert x.dtype == jnp.int32, x.dtype
         # bias into the normal-float range: denormal views (< 0x00800000)
         # are flushed to zero by the TPU VPU and lose their ordering
         bias = jnp.int32(0x3F800000)
         xf = jax.lax.bitcast_convert_type(x + bias, jnp.float32)
-        v, i = jax.lax.approx_max_k(xf, k, recall_target=1.0)
+        v, i = _reduce(xf)
         return jax.lax.bitcast_convert_type(v, jnp.int32) - bias, i
-    return jax.lax.approx_max_k(x, k, recall_target=1.0)
+    return _reduce(x)
