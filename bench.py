@@ -396,6 +396,9 @@ if __name__ == "__main__":
         "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / TORCH_CPU_BASELINE_IMG_S, 2),
+        # measured img/s over the TOP of the optimized-A100 band
+        # (BASELINE.md "A100-parity analysis": 4500 img/s at 0.30 MFU)
+        "vs_a100_est": round(value / 4500.0, 3),
         "batch": BATCH,
         **_trained_metrics(),
         "batch1_ms_p50": round(batch1_ms, 3),

@@ -172,7 +172,11 @@ def export_pseudo_labels(
     if host_warp is None:
         from yolopoint_tpu.data.native import available
 
-        host_warp = available()
+        # On TPU the windowed-DMA Pallas warp (ops/pallas_warp.py) makes the
+        # all-device program the fast path at every size (~0.5 s/image at
+        # 640px for N=50 views); the host-warp path exists for CPU runs and
+        # many-core hosts (measured 17 s/image at 640px on this 1-core host).
+        host_warp = available() and jax.default_backend() != "tpu"
 
     if host_warp:
         np_rng = np.random.default_rng(seed)
