@@ -63,7 +63,7 @@ def main(argv=None):
                        root=args.data_root)
     sp = cfg_get(config, "model.superpoint", {}) or {}
     paths = export_pseudo_labels(
-        model, variables, dict(ds.iter_export()), out_dir, seed=args.seed,
+        model, variables, ds.iter_export(), out_dir, seed=args.seed,
         num_homographies=int(export_cfg.get("num_homographies", 100)),
         conf_thresh=float(sp.get("detection_threshold", 0.015)),
         nms_radius=int(sp.get("nms", 4)),

@@ -151,13 +151,14 @@ def homography_adaptation_host(
 def export_pseudo_labels(
     model,
     variables: Mapping[str, Any],
-    images: Mapping[str, np.ndarray],
+    images,
     output_dir: str | Path,
     seed: int = 0,
     normalize_points: bool = False,
     **ha_kwargs,
 ) -> list[Path]:
-    """Run adaptation over named images and save `{name}.npz` with
+    """Run adaptation over named images — a `{name: image}` mapping or a
+    streaming `(name, image)` iterable — and save `{name}.npz` with
     `pts (K, 3) [x, y, prob]` (the reference export schema,
     `export_homography.py:171-177`).
 
@@ -196,7 +197,10 @@ def export_pseudo_labels(
         )
 
     paths = []
-    for i, (name, img) in enumerate(images.items()):
+    # accept a dict OR a streaming (name, image) iterable — materializing a
+    # full f32 dataset dict costs ~10 GB host RAM at 2048x640x640x3
+    items = images.items() if hasattr(images, "items") else images
+    for i, (name, img) in enumerate(items):
         if host_warp:
             pts, scores, valid = run_host(np.asarray(img, np.float32))
         else:
