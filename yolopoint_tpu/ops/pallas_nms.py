@@ -169,7 +169,7 @@ def _tile_reduce_in_kernel(key: jax.Array, t: int) -> jax.Array:
     return kt.T                                               # (BR/t, W/t)
 
 
-def _kernel_keys(hbm_ref, out_ref, scratch, sems,
+def _kernel_keys(hbm_ref, out_ref, scratch, fscratch, sems,
                  *, H, W, BR, halo, nb, total, conf, radius, iterations,
                  border, tile):
     """Same streaming NMS as `_kernel`, but reduces each interior block to
@@ -213,13 +213,15 @@ def _kernel_keys(hbm_ref, out_ref, scratch, sems,
         hbm_ref.at[bi, pl.ds(start, TR), :], scratch.at[slot], sems.at[slot]
     ).wait()
 
-    s = scratch[slot]  # (TR, W)
+    # bf16 inputs halve the HBM read; compute runs f32 (Mosaic cannot lower
+    # packed-bf16 compares), via an f32 compute scratch
+    s = scratch[slot].astype(jnp.float32)  # (TR, W)
     s = jnp.where(s >= conf, s, 0.0)
     s = _nms_body(s, radius, iterations)
 
     # dynamic interior slice via the VMEM ref (pl.ds on arrays doesn't lower)
-    scratch[slot] = s
-    si = scratch[slot, pl.ds(off, BR), :]                     # (BR, W)
+    fscratch[0] = s
+    si = fscratch[0, pl.ds(off, BR), :]                       # (BR, W)
 
     # border removal + key packing on GLOBAL coordinates (tiles are aligned
     # to the image origin; BR % t == 0 keeps block rows tile-aligned)
@@ -229,7 +231,8 @@ def _kernel_keys(hbm_ref, out_ref, scratch, sems,
         (rows >= border) & (rows < H - border)
         & (cols >= border) & (cols < W - border)
     )
-    si = jnp.where(ok, si, 0.0)
+    # key packing needs the f32 bit view; the bf16->f32 upcast is exact
+    si = jnp.where(ok, si, jnp.zeros((), si.dtype)).astype(jnp.float32)
 
     pos_bits = max((t * t - 1).bit_length(), 1)
     pos_mask = (1 << pos_bits) - 1
@@ -279,6 +282,8 @@ def _run_nms_keys_kernel(
     """Run the fused NMS+tile-keys kernel -> `(B, H/t * W/t)` int32 keys."""
     B, H, W = heatmap.shape
     assert H % t == 0 and W % t == 0, "pad the heatmap to tile multiples"
+    if heatmap.dtype not in (jnp.float32, jnp.bfloat16):
+        heatmap = heatmap.astype(jnp.float32)
     BR, halo = _pick_block(H, t, radius, iterations, keys=True)
     nb = H // BR
     kernel = functools.partial(
@@ -294,11 +299,14 @@ def _run_nms_keys_kernel(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H // t, W // t), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((2, BR + 2 * halo, W), jnp.float32),
+            # bf16 heatmaps stream/DMA at half the HBM traffic; compute runs
+            # f32 in its own scratch (packed-bf16 compares don't lower)
+            pltpu.VMEM((2, BR + 2 * halo, W), heatmap.dtype),
+            pltpu.VMEM((1, BR + 2 * halo, W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(heatmap.astype(jnp.float32))
+    )(heatmap)
     return keys.reshape(B, (H // t) * (W // t))
 
 
