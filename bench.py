@@ -175,9 +175,10 @@ def bench_kitti_n(batch: int = 64, iters: int = 10, warmup: int = 3) -> float:
     model = build_model("YOLOPoint", "n", nc=3, dtype=jnp.bfloat16, fused=True)
     pipe = InferencePipeline(
         model, fold_batch_norm(variables),
-        # reference kitti_inference.yaml operating point
+        # reference kitti_inference.yaml operating point + serving fast path
         {"detection_threshold": 0.12, "nms": 8, "top_k": 600,
-         "conf_thresh": 0.25, "iou_thresh": 0.45, "max_det": 300},
+         "conf_thresh": 0.25, "iou_thresh": 0.45, "max_det": 300,
+         "heatmap_dtype": "bf16", "max_nms": 512},
         compute_dtype=jnp.bfloat16,
     )
     img = jnp.asarray(
@@ -281,7 +282,7 @@ def bench_train_step(batch: int = 16, iters: int = 8, warmup: int = 2,
     return img_s, round(mfu, 4), round(host_warp_ms, 1)
 
 
-def bench_trained_serving(batch: int = 64, iters: int = 10, warmup: int = 3):
+def bench_trained_serving(batch: int = 128, iters: int = 10, warmup: int = 3):
     """Serving throughput with the TRAINED flagship checkpoint (VERDICT r4
     #1: the headline uses random weights so score distributions are
     synthetic; decode is fixed-shape so the numbers should agree — this
@@ -319,7 +320,8 @@ def bench_trained_serving(batch: int = 64, iters: int = 10, warmup: int = 3):
     pipe = InferencePipeline(
         model, fold_batch_norm(loaded["variables"]),
         {"detection_threshold": 0.015, "nms": 4, "top_k": 1000,
-         "conf_thresh": 0.25, "iou_thresh": 0.45, "max_det": 300},
+         "conf_thresh": 0.25, "iou_thresh": 0.45, "max_det": 300,
+         "heatmap_dtype": "bf16", "max_nms": 512},
         compute_dtype=jnp.bfloat16,
     )
     img = jnp.asarray(
