@@ -301,6 +301,8 @@ def bench_trained_serving(batch: int = 128, iters: int = 10, warmup: int = 3):
 
     root = os.path.dirname(os.path.abspath(__file__))
     candidates = [
+        ("synth_s640_pseudo2", "artifacts/synth_s640_pseudo2/best"),
+        ("synth_s640_pseudo2", "runs/synth_s640_pseudo2/best"),
         ("synth_s640_pseudo", "artifacts/synth_s640_pseudo/best"),
         ("synth_s640_pseudo", "runs/synth_s640_pseudo/best"),
         ("synth_s640", "artifacts/synth_s640/best"),
